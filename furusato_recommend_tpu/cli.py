@@ -1,0 +1,131 @@
+"""Command-line entry point — the reference's `main.py` + `parse.py` surface.
+
+``python -m furusato_recommend_tpu.cli --model lgn --recdim 64 --layer 2 ...``
+
+Flag names match `/root/reference/parse.py:4-61` so reference invocations port
+1:1; values land in the typed `Config` instead of a mutable global dict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+
+from .config import Config, MeshConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="furusato_recommend_tpu trainer")
+    p.add_argument("--bpr_batch", type=int, default=2048)
+    p.add_argument("--recdim", type=int, default=64)
+    p.add_argument("--layer", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--decay", type=float, default=1e-7)
+    p.add_argument("--dropout", type=int, default=0)
+    p.add_argument("--keepprob", type=float, default=0.6)
+    p.add_argument("--a_fold", type=int, default=1000)
+    p.add_argument("--num_neighbors", type=int, default=5)
+    p.add_argument("--testbatch", type=int, default=10000)
+    p.add_argument("--dataset", type=str, default="furusato")
+    p.add_argument("--path", type=str, default="./checkpoints")
+    p.add_argument("--data_path", type=str, default="./data")
+    p.add_argument("--topks", nargs="?", default="[10,20]")
+    p.add_argument("--tensorboard", type=int, default=0)
+    p.add_argument("--wandb", type=str, default="")
+    p.add_argument("--inference", type=str, default="all")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--comment", type=str, default="lgn")
+    p.add_argument("--load", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--pretrain", type=int, default=0)
+    p.add_argument("--seed", type=int, default=2020)
+    p.add_argument("--model", type=str, default="lgn")
+    p.add_argument("--train_emb", action="store_true")
+    p.add_argument("--sample_pow", type=float, default=0.0)
+    p.add_argument("--r", type=float, default=0.5)
+    p.add_argument("--test_span", type=int, default=10)
+    p.add_argument("--suffix", type=str, default="")
+    p.add_argument("--multi_relational", type=str, default="add")
+    p.add_argument("--conv", type=str, default="gcn")
+    p.add_argument("--for_lgbm", action="store_true")
+    p.add_argument("--lgbm_ratio", type=float, default=0.1)
+    p.add_argument("--cold_start", action="store_true")
+    p.add_argument("--user_feature", type=str, default="ntw")
+    p.add_argument("--item_feature", type=str, default="ntw")
+    p.add_argument("--factorization", action="store_true")
+    # TPU-native additions (subsume --multi_gpu / --device / --multicore)
+    p.add_argument("--mesh_data", type=int, default=1)
+    p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--ddp_recipe", action="store_true", help="weighted+capped DDP sampler recipe")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    return Config(
+        model=args.model,
+        dataset=args.dataset,
+        bpr_batch_size=args.bpr_batch,
+        latent_dim=args.recdim,
+        n_layers=args.layer,
+        lr=args.lr,
+        decay=args.decay,
+        dropout=bool(args.dropout),
+        keep_prob=args.keepprob,
+        a_fold=args.a_fold,
+        num_neighbors=args.num_neighbors,
+        test_batch_size=args.testbatch,
+        topks=tuple(ast.literal_eval(args.topks)),
+        epochs=args.epochs,
+        test_span=args.test_span,
+        seed=args.seed,
+        pretrain=bool(args.pretrain),
+        r=args.r,
+        conv=args.conv,
+        multi_relational=args.multi_relational,
+        inference=args.inference,
+        train_emb=args.train_emb,
+        sample_pow=args.sample_pow,
+        factorization=args.factorization,
+        test_mode=args.test,
+        cold_start=args.cold_start,
+        for_lgbm=args.for_lgbm,
+        lgbm_ratio=args.lgbm_ratio,
+        suffix=args.suffix,
+        user_feature=args.user_feature,
+        item_feature=args.item_feature,
+        path=args.path,
+        data_path=args.data_path,
+        wandb=args.wandb,
+        tensorboard=bool(args.tensorboard),
+        comment=args.comment,
+        load=bool(args.load),
+        mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
+    )
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    config = config_from_args(args)
+
+    from .data import load_text_dataset
+    from .models.registry import build_model
+    from .obs.log import MetricLogger, cprint
+    from .train.trainer import Trainer
+
+    cprint(f"[furusato_recommend_tpu] model={config.model} dim={config.latent_dim}")
+    dataset = load_text_dataset(config)
+    print(
+        f"{dataset.train_size} train / {dataset.test_size} test interactions; "
+        f"sparsity {dataset.sparsity():.6f}"
+    )
+    model = build_model(config.model, config, dataset.graph)
+    logger = MetricLogger(
+        jsonl_path=f"{config.path}/{config.model}/metrics.jsonl",
+        wandb_run=(None if config.test_mode else config.wandb or None),
+    )
+    trainer = Trainer(config, dataset, model, logger=logger, ddp_recipe=args.ddp_recipe)
+    trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Typed configuration for the TPU-native framework.
+
+Replaces the reference's argparse-namespace-flattened-into-a-mutable-global-dict
+pattern (`/root/reference/parse.py:4-61` + `/root/reference/world.py:30-115`) with a
+single frozen dataclass that covers:
+
+- every `parse.py` flag (35 flags),
+- the hard-coded DDP training constants (`/root/reference/ddp.py:33-37`), so the
+  distributed recipe is expressible from config instead of edited source,
+- the feature-set mini-DSL over the alphabet ``n/c/w/t/s/r/b``
+  (numeric / categorical / word2vec / tf-idf-text / sentence / review / bert),
+  validated at construction time like `/root/reference/world.py:74-93`,
+- TPU-specific knobs that have no reference counterpart (mesh shape, dtype policy,
+  host prefetch depth).
+
+The config is a pytree-free plain dataclass: it is never traced, only closed over,
+so every field is a static hyperparameter from XLA's point of view.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Sequence
+
+USER_FEATURE_ALPHABET = "ncwtbs"
+ITEM_FEATURE_ALPHABET = "ncwtsrb"
+
+#: feature flag -> human name (reference: /root/reference/world.py:77-86)
+FEATURE_NAMES = {
+    "n": "numeric",
+    "c": "categorical",
+    "w": "word2vec",
+    "t": "text",  # tf-idf / count bag-of-words
+    "s": "sentence",
+    "r": "review",
+    "b": "bert",
+}
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. TPU-native capability with no reference counterpart —
+    subsumes the reference's NCCL DDP (`/root/reference/ddp.py:884-891`) and
+    `nn.DataParallel` (`/root/reference/trainer.py:41-44`) paths.
+
+    ``data`` shards the training batch; ``model`` row-shards the embedding
+    tables and item-shards full-catalog scoring.
+    """
+
+    data: int = 1
+    model: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- model selection (parse.py: --model / --dataset) ---
+    model: str = "lgn"
+    dataset: str = "furusato"
+
+    # --- core hyperparameters (parse.py defaults) ---
+    bpr_batch_size: int = 2048  # --bpr_batch
+    latent_dim: int = 64  # --recdim
+    n_layers: int = 2  # --layer
+    lr: float = 1e-4  # --lr
+    decay: float = 1e-7  # --decay (L2 coefficient)
+    dropout: bool = False  # --dropout
+    keep_prob: float = 0.6  # --keepprob
+    a_fold: int = 1000  # --a_fold (kept for parity; the TPU SpMM shards instead)
+    num_neighbors: int = 5  # --num_neighbors (fanout per layer)
+    test_batch_size: int = 10000  # --testbatch
+    topks: Sequence[int] = (10, 20)  # --topks
+    epochs: int = 1000  # --epochs
+    test_span: int = 10  # --test_span
+    seed: int = 2020  # --seed
+    pretrain: bool = False  # --pretrain
+    r: float = 0.5  # --r (rAdjGCN asymmetric-normalization exponent)
+    conv: str = "gcn"  # --conv in {transformer, gat, ggnn, gcn, sage}
+    multi_relational: str = "add"  # --multi_relational in {add, sum, prod}
+    inference: str = "all"  # --inference in {all, sample}
+    train_emb: bool = False  # --train_emb
+    sample_pow: float = 0.0  # --sample_pow (popularity-weighted positive sampling)
+    factorization: bool = False  # --factorization (FM second-order term)
+
+    # --- dataset slicing flags ---
+    test_mode: bool = False  # --test (tiny smoke slice, uid<=100)
+    cold_start: bool = False  # --cold_start
+    for_lgbm: bool = False  # --for_lgbm
+    lgbm_ratio: float = 0.1  # --lgbm_ratio
+    suffix: str = ""  # --suffix (dataset variant key)
+
+    # --- feature DSL ---
+    user_feature: str = "ntw"  # --user_feature, subset of ncwtbs
+    item_feature: str = "ntw"  # --item_feature, subset of ncwtsrb
+
+    # --- paths / logging ---
+    path: str = "./checkpoints"  # --path
+    data_path: str = "./data"
+    wandb: str = ""  # --wandb run name ("" = disabled)
+    tensorboard: bool = False  # --tensorboard
+    comment: str = "lgn"  # --comment
+    load: bool = False  # --load
+
+    # --- distributed-recipe constants (reference ddp.py:33-37, hard-coded there) ---
+    negative_pow: float = 0.2  # NEGATIVE_POW
+    positive_num_limit: int = 3000  # POSITIVE_NUM_LIMIT (per-positive frequency cap)
+    train_iterative: int = 3  # TRAIN_ITERATIVE (x dataset-size samples per epoch)
+    test_count: int = 100  # TEST_COUNT (eval user-batch truncation in DDP eval)
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    neg_candidates: int = 8  # bounded on-device rejection-sampling width
+    eval_user_batch: int = 1024  # device-side eval tile (users per scoring block)
+    donate_params: bool = True
+
+    def __post_init__(self):
+        for f in self.user_feature:
+            if f not in USER_FEATURE_ALPHABET:
+                raise ValueError(
+                    f"user_feature flag {f!r} not in {USER_FEATURE_ALPHABET!r}"
+                )
+        for f in self.item_feature:
+            if f not in ITEM_FEATURE_ALPHABET:
+                raise ValueError(
+                    f"item_feature flag {f!r} not in {ITEM_FEATURE_ALPHABET!r}"
+                )
+        if self.inference not in ("all", "sample"):
+            raise ValueError(f"inference must be 'all' or 'sample', got {self.inference!r}")
+        if self.multi_relational not in ("add", "sum", "prod"):
+            raise ValueError(f"bad multi_relational {self.multi_relational!r}")
+        if self.conv not in ("gcn", "sage", "gat", "transformer", "ggnn", "mean", "light"):
+            raise ValueError(f"bad conv {self.conv!r}")
+        if not self.topks:
+            raise ValueError("topks must be non-empty")
+
+    # -- convenience --
+    @property
+    def max_topk(self) -> int:
+        return max(self.topks)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["topks"] = list(self.topks)
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        d["topks"] = tuple(d["topks"])
+        if isinstance(d.get("mesh"), dict):
+            d["mesh"] = MeshConfig(**d["mesh"])
+        return cls(**d)
+
+
+def ddp_flagship_config() -> Config:
+    """The reference's DDP flagship recipe (`/root/reference/ddp.py:771-786`):
+    TextSAGE recdim=32, layer=2, fanout=5, batch=5000, lr=1e-3, decay=1e-6,
+    features n/w/t, 200 epochs, 3x dataset-size samples/epoch."""
+    return Config(
+        model="textsage",
+        latent_dim=32,
+        n_layers=2,
+        num_neighbors=5,
+        bpr_batch_size=5000,
+        lr=1e-3,
+        decay=1e-6,
+        user_feature="nwt",
+        item_feature="nwt",
+        epochs=200,
+        train_iterative=3,
+        positive_num_limit=3000,
+        negative_pow=0.2,
+    )

@@ -1,0 +1,218 @@
+"""Dataset ingestion: adjacency-list text files -> static-shape graph arrays.
+
+Covers the reference's `Loader` (`/root/reference/dataloader.py:66-300`) behaviors:
+
+- adjacency-list text format ``uid item1 item2 ...`` for train/test splits,
+- ``--for_lgbm`` per-user held-out slicing (`/root/reference/dataloader.py:100-105`),
+- ``--cold_start`` truncation for uid<10000 (`/root/reference/dataloader.py:107-113`),
+- ``--test`` smoke-slice stopping at uid==100 (`/root/reference/dataloader.py:122-124`),
+
+plus a deterministic synthetic fixture generator (the reference had no reproducible
+test dataset — SURVEY.md §4) and the dataframe-style ingestion of the DDP path
+(`Datas`, `/root/reference/ddp.py:40-102`) via `from_interactions`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from .graph import BipartiteGraph, build_bipartite_graph
+
+__all__ = ["Dataset", "load_text_dataset", "synthetic_dataset"]
+
+
+@dataclass
+class Dataset:
+    """Host-side dataset: raw COO interactions + the device graph.
+
+    Mirrors the abstract surface of `BasicDataset`
+    (`/root/reference/dataloader.py:19-64`): n_users, m_items, train_size,
+    test_dict, all_pos — but the canonical representation is the static-shape
+    `BipartiteGraph`; the ragged views are derived and host-only.
+    """
+
+    n_users: int
+    m_items: int
+    train_user: np.ndarray  # [E] int
+    train_item: np.ndarray  # [E] int
+    test_user: np.ndarray
+    test_item: np.ndarray
+    _graph: Optional[BipartiteGraph] = field(default=None, repr=False)
+
+    @property
+    def train_size(self) -> int:
+        return int(len(self.train_user))
+
+    @property
+    def test_size(self) -> int:
+        return int(len(self.test_user))
+
+    @property
+    def graph(self) -> BipartiteGraph:
+        if self._graph is None:
+            self._graph = build_bipartite_graph(
+                self.train_user,
+                self.train_item,
+                self.test_user,
+                self.test_item,
+                self.n_users,
+                self.m_items,
+            )
+        return self._graph
+
+    # --- ragged host-side views (parity with the reference API; not used on TPU) ---
+    def all_pos(self) -> List[np.ndarray]:
+        """Per-user positive item arrays (reference `_allPos`)."""
+        out: List[np.ndarray] = [np.empty(0, dtype=np.int64)] * self.n_users
+        order = np.argsort(self.train_user, kind="stable")
+        u_sorted = self.train_user[order]
+        i_sorted = self.train_item[order]
+        bounds = np.searchsorted(u_sorted, np.arange(self.n_users + 1))
+        for u in range(self.n_users):
+            out[u] = i_sorted[bounds[u] : bounds[u + 1]]
+        return out
+
+    def test_dict(self) -> Dict[int, np.ndarray]:
+        """user -> test items (reference `__build_test`,
+        `/root/reference/dataloader.py:260-272`)."""
+        d: Dict[int, np.ndarray] = {}
+        order = np.argsort(self.test_user, kind="stable")
+        u_sorted = self.test_user[order]
+        i_sorted = self.test_item[order]
+        bounds = np.searchsorted(u_sorted, np.arange(self.n_users + 1))
+        for u in range(self.n_users):
+            if bounds[u + 1] > bounds[u]:
+                d[u] = i_sorted[bounds[u] : bounds[u + 1]]
+        return d
+
+    def item_occurrence(self) -> np.ndarray:
+        """Per-item train interaction counts (reference `item_oc`,
+        `/root/reference/ddp.py:96-101`)."""
+        return np.bincount(self.train_item, minlength=self.m_items)
+
+    def sparsity(self) -> float:
+        return (self.train_size + self.test_size) / (self.n_users * self.m_items)
+
+
+def _parse_adjacency(path: Path, stop_uid: Optional[int]) -> List[tuple[int, List[int]]]:
+    rows: List[tuple[int, List[int]]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip("\n")
+            if not line:
+                continue
+            parts = line.split(" ")
+            uid = int(parts[0])
+            items = [int(t) for t in parts[1:] if t != ""]
+            rows.append((uid, items))
+            if stop_uid is not None and uid == stop_uid:
+                break
+    return rows
+
+
+def load_text_dataset(config: Config, path: Optional[str] = None) -> Dataset:
+    """Parse ``{path}/{suffix}/train{suffix}.txt`` + ``test{suffix}.txt``.
+
+    Reproduces the slicing behaviors of `/root/reference/dataloader.py:93-155`:
+    for_lgbm holds out ``lgbm_ratio/0.7`` of each user's items; cold_start gives
+    users with uid<10000 only ``uid // 2000`` train items and moves the rest to
+    test; test_mode stops reading at uid==100.
+    """
+    base = Path(path if path is not None else config.data_path) / "cf"
+    sfx = config.suffix
+    train_file = base / sfx / f"train{sfx}.txt" if sfx else base / f"train{sfx}.txt"
+    test_file = base / sfx / f"test{sfx}.txt" if sfx else base / f"test{sfx}.txt"
+    if not train_file.exists():
+        # flat layout fallback (reference path has both layouts depending on suffix)
+        train_file = base / f"train{sfx}.txt"
+        test_file = base / f"test{sfx}.txt"
+
+    stop_uid = 100 if config.test_mode else None
+    train_rows = _parse_adjacency(train_file, stop_uid)
+    test_rows = _parse_adjacency(test_file, stop_uid)
+
+    tr_u: List[int] = []
+    tr_i: List[int] = []
+    te_u: List[int] = []
+    te_i: List[int] = []
+    n_user = 0
+    m_item = 0
+    for uid, items in train_rows:
+        if not items:
+            continue
+        m_item = max(m_item, max(items))
+        n_user = max(n_user, uid)
+        if config.for_lgbm:
+            valid_len = int(len(items) * config.lgbm_ratio / 0.7)
+            train_len = len(items) - valid_len
+            tr_u.extend([uid] * train_len)
+            tr_i.extend(items[:train_len])
+        elif config.cold_start and uid < 10000:
+            train_len = uid // 2000
+            tr_u.extend([uid] * train_len)
+            tr_i.extend(items[:train_len])
+            te_u.extend([uid] * (len(items) - train_len))
+            te_i.extend(items[train_len:])
+        else:
+            tr_u.extend([uid] * len(items))
+            tr_i.extend(items)
+    for uid, items in test_rows:
+        if not items:
+            continue
+        m_item = max(m_item, max(items))
+        n_user = max(n_user, uid)
+        te_u.extend([uid] * len(items))
+        te_i.extend(items)
+
+    return Dataset(
+        n_users=n_user + 1,
+        m_items=m_item + 1,
+        train_user=np.asarray(tr_u, dtype=np.int64),
+        train_item=np.asarray(tr_i, dtype=np.int64),
+        test_user=np.asarray(te_u, dtype=np.int64),
+        test_item=np.asarray(te_i, dtype=np.int64),
+    )
+
+
+def synthetic_dataset(
+    n_users: int = 200,
+    m_items: int = 300,
+    avg_degree: int = 12,
+    test_holdout: int = 3,
+    seed: int = 0,
+    popularity_alpha: float = 1.2,
+) -> Dataset:
+    """Deterministic synthetic bipartite dataset with a Zipf-ish item popularity,
+    used for golden-metric tests and microbenchmarks (SURVEY.md §4 test strategy).
+
+    Every user gets >= test_holdout + 1 distinct items; the last ``test_holdout``
+    go to the test split.
+    """
+    rng = np.random.default_rng(seed)
+    pop = 1.0 / np.arange(1, m_items + 1) ** popularity_alpha
+    pop = pop / pop.sum()
+
+    tr_u, tr_i, te_u, te_i = [], [], [], []
+    for u in range(n_users):
+        k = int(rng.integers(test_holdout + 2, max(test_holdout + 3, 2 * avg_degree)))
+        items = rng.choice(m_items, size=min(k, m_items), replace=False, p=pop)
+        train_part = items[:-test_holdout]
+        test_part = items[-test_holdout:]
+        tr_u.extend([u] * len(train_part))
+        tr_i.extend(train_part.tolist())
+        te_u.extend([u] * len(test_part))
+        te_i.extend(test_part.tolist())
+
+    return Dataset(
+        n_users=n_users,
+        m_items=m_items,
+        train_user=np.asarray(tr_u, dtype=np.int64),
+        train_item=np.asarray(tr_i, dtype=np.int64),
+        test_user=np.asarray(te_u, dtype=np.int64),
+        test_item=np.asarray(te_i, dtype=np.int64),
+    )

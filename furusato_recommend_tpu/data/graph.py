@@ -1,0 +1,173 @@
+"""Static-shape graph representations for TPU.
+
+The reference keeps the interaction graph as ragged Python structures — a
+list-of-arrays ``allPos`` (`/root/reference/dataloader.py:129`), COO arrays, and a
+scipy CSR normalized adjacency cached to disk
+(`/root/reference/dataloader.py:195-258`). Ragged data cannot be traced by XLA, so
+here everything is re-designed as **static-shape padded/sorted arrays**:
+
+- ``CSR``: ``indptr`` + flat ``indices`` with **indices sorted within each row**.
+  Sorted rows turn membership tests (the reference's ``negitem in posForUser``
+  rejection loop, `/root/reference/negative_sample.py:121-126`) into fixed-depth
+  vectorized binary searches on device.
+- ``COOEdges``: edge list **sorted by destination**, so that graph propagation is a
+  ``segment_sum`` with ``indices_are_sorted=True`` — the TPU-efficient replacement
+  for cuSPARSE SpMM (`/root/reference/model/MF.py:200-204`) and torch-scatter
+  aggregation (`/root/reference/model/graphsage.py:320`).
+
+Host-side construction is numpy; the ``device()`` methods return jnp pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["CSR", "COOEdges", "BipartiteGraph", "build_bipartite_graph"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CSR:
+    """Compressed sparse rows with row-sorted indices.
+
+    indptr:  [num_rows + 1] int32
+    indices: [nnz] int32 — sorted ascending within each row
+    """
+
+    indptr: jnp.ndarray
+    indices: jnp.ndarray
+
+    @property
+    def num_rows(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    @property
+    def nnz(self) -> int:
+        return self.indices.shape[0]
+
+    def degrees(self) -> jnp.ndarray:
+        return self.indptr[1:] - self.indptr[:-1]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class COOEdges:
+    """Destination-sorted weighted edge list over a single node id space.
+
+    src, dst: [E] int32, sorted by dst ascending.
+    weight:   [E] float32 (e.g. symmetric normalization 1/sqrt(d_src * d_dst)).
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    weight: jnp.ndarray
+
+    @property
+    def num_edges(self) -> int:
+        return self.src.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BipartiteGraph:
+    """The full device-resident training graph.
+
+    Joint node space convention (same as the reference's PyG models,
+    `/root/reference/model/lgcn.py:53-61`): users are ``[0, n_users)``, items are
+    ``[n_users, n_users + m_items)``.
+    """
+
+    n_users: int = dataclasses.field(metadata=dict(static=True))
+    m_items: int = dataclasses.field(metadata=dict(static=True))
+
+    # user -> item adjacency (item ids in [0, m_items)), and its transpose
+    user_pos: CSR
+    item_pos: CSR
+
+    # test interactions as user -> item CSR (ragged testDict made static;
+    # reference: `/root/reference/dataloader.py:260-272` __build_test)
+    test_pos: CSR
+
+    # symmetric-normalized bidirectional edges over the joint node space,
+    # destination-sorted (replaces s_pre_adj_mat.npz,
+    # `/root/reference/dataloader.py:195-258`)
+    norm_edges: COOEdges
+
+    @property
+    def num_nodes(self) -> int:
+        return self.n_users + self.m_items
+
+    @property
+    def train_size(self) -> int:
+        return self.user_pos.nnz
+
+    def user_degrees(self) -> jnp.ndarray:
+        return self.user_pos.degrees()
+
+    def item_degrees(self) -> jnp.ndarray:
+        return self.item_pos.degrees()
+
+
+def _csr_from_coo(rows: np.ndarray, cols: np.ndarray, num_rows: int) -> tuple[np.ndarray, np.ndarray]:
+    """Build (indptr, row-sorted indices) from COO pairs. Duplicates are kept."""
+    order = np.lexsort((cols, rows))
+    rows_s = rows[order]
+    cols_s = cols[order].astype(np.int32)
+    counts = np.bincount(rows_s, minlength=num_rows)
+    indptr = np.zeros(num_rows + 1, dtype=np.int32)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, cols_s
+
+
+def build_bipartite_graph(
+    train_user: np.ndarray,
+    train_item: np.ndarray,
+    test_user: np.ndarray,
+    test_item: np.ndarray,
+    n_users: int,
+    m_items: int,
+) -> BipartiteGraph:
+    """Construct the device graph from COO interaction arrays.
+
+    Computes the symmetric normalization D^-1/2 (A) D^-1/2 over the (n+m)^2
+    bipartite block matrix exactly like `Loader.getSparseGraph`
+    (`/root/reference/dataloader.py:219-237`), but emits destination-sorted COO
+    instead of a scipy CSR, and never materializes the dense degree matrix.
+    """
+    train_user = np.asarray(train_user, dtype=np.int64)
+    train_item = np.asarray(train_item, dtype=np.int64)
+    test_user = np.asarray(test_user, dtype=np.int64)
+    test_item = np.asarray(test_item, dtype=np.int64)
+
+    up_indptr, up_indices = _csr_from_coo(train_user, train_item, n_users)
+    ip_indptr, ip_indices = _csr_from_coo(train_item, train_user, m_items)
+    tp_indptr, tp_indices = _csr_from_coo(test_user, test_item, n_users)
+
+    # joint-space bidirectional edges
+    src = np.concatenate([train_user, train_item + n_users]).astype(np.int64)
+    dst = np.concatenate([train_item + n_users, train_user]).astype(np.int64)
+    deg = np.bincount(
+        np.concatenate([train_user, train_item + n_users]), minlength=n_users + m_items
+    ).astype(np.float64)
+    d_inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1.0)), 0.0)
+    weight = (d_inv_sqrt[src] * d_inv_sqrt[dst]).astype(np.float32)
+
+    order = np.argsort(dst, kind="stable")
+    src, dst, weight = src[order], dst[order], weight[order]
+
+    dev = jnp.asarray
+    return BipartiteGraph(
+        n_users=int(n_users),
+        m_items=int(m_items),
+        user_pos=CSR(dev(up_indptr), dev(up_indices)),
+        item_pos=CSR(dev(ip_indptr), dev(ip_indices)),
+        test_pos=CSR(dev(tp_indptr), dev(tp_indices)),
+        norm_edges=COOEdges(
+            dev(src.astype(np.int32)), dev(dst.astype(np.int32)), dev(weight)
+        ),
+    )

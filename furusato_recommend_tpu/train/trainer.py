@@ -1,0 +1,191 @@
+"""Trainer: whole-epoch-compiled training + eval cadence + best checkpointing.
+
+The reference Trainer (`/root/reference/trainer.py:27-258`) per epoch: CPU-samples
+triplets (fork boundary), copies to GPU, Python-loops minibatches with per-batch
+optimizer steps, evals every ``test_span`` epochs, checkpoints on best recall@K.
+
+TPU re-design: the *entire epoch* — sampling, minibatching, forward/backward,
+optimizer updates — is one jitted XLA program: ``sample_bpr`` draws all triplets
+on device, ``lax.scan`` folds the optimizer step over [num_batches, B] tiles, and
+buffers are donated so the tables update in place. One dispatch per epoch, zero
+host<->device traffic in steady state.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..core.checkpoint import checkpoint_path, save_checkpoint
+from ..data.dataset import Dataset
+from ..eval.evaluate import EvalData, Evaluator, build_eval_data
+from ..models.base import PairwiseModel, Params
+from ..obs.log import MetricLogger, cprint
+from ..ops.alias import AliasTable
+from ..sampling.bpr import BPRBatch, sample_bpr
+from ..sampling.weights import (
+    capped_positive_edge_weights,
+    edge_alias_from_weights,
+    negative_alias,
+    popularity_positive_edge_weights,
+)
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Config,
+        dataset: Dataset,
+        model: PairwiseModel,
+        logger: Optional[MetricLogger] = None,
+        item_categories: Optional[np.ndarray] = None,
+        ddp_recipe: bool = False,
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.model = model
+        self.graph = dataset.graph
+        self.logger = logger or MetricLogger(quiet=config.test_mode)
+        self.max_recall = -1.0
+        self.step = 0
+
+        bs = config.bpr_batch_size
+        # samples per epoch: reference draws trainDataSize (single-GPU,
+        # negative_sample.py:106) or TRAIN_ITERATIVE x that (DDP, ddp.py:674);
+        # rounded up to a whole number of static batches.
+        mult = config.train_iterative if ddp_recipe else 1
+        total = max(dataset.train_size * mult, bs)
+        self.num_batches = -(-total // bs)
+        self.samples_per_epoch = self.num_batches * bs
+
+        # weighted-sampling recipes -> alias tables (host build, device sample)
+        self.edge_alias: Optional[AliasTable] = None
+        self.neg_alias: Optional[AliasTable] = None
+        if ddp_recipe:
+            w = capped_positive_edge_weights(
+                dataset, self.samples_per_epoch, config.positive_num_limit
+            )
+            self.edge_alias = edge_alias_from_weights(w)
+            if config.negative_pow:
+                self.neg_alias = negative_alias(dataset, config.negative_pow)
+        elif config.sample_pow:
+            w = popularity_positive_edge_weights(dataset, config.sample_pow)
+            self.edge_alias = edge_alias_from_weights(w)
+
+        self.optimizer = optax.adam(config.lr)
+        self._train_epoch = self._build_train_epoch()
+
+        max_deg = int(np.max(np.bincount(dataset.train_user, minlength=dataset.n_users)))
+        self.evaluator = Evaluator(model, self.graph, config, max_train_degree=max_deg)
+        self.eval_data: EvalData = build_eval_data(
+            dataset, config.eval_user_batch, item_categories=item_categories
+        )
+
+    # -- compiled epoch --
+    def _build_train_epoch(self):
+        model, graph, opt = self.model, self.graph, self.optimizer
+        bs, nb = self.config.bpr_batch_size, self.num_batches
+        edge_alias, neg_alias = self.edge_alias, self.neg_alias
+        neg_k = self.config.neg_candidates
+
+        def train_step(carry, inp):
+            params, opt_state = carry
+            batch, key = inp
+            (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                params, graph, batch, key
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        def train_epoch(params, opt_state, key):
+            k_sample, k_steps = jax.random.split(key)
+            s = sample_bpr(
+                k_sample,
+                graph,
+                nb * bs,
+                neg_candidates=neg_k,
+                edge_alias=edge_alias,
+                neg_alias=neg_alias,
+            )
+            batches = BPRBatch(
+                user=s.user.reshape(nb, bs),
+                pos=s.pos.reshape(nb, bs),
+                neg=s.neg.reshape(nb, bs),
+                valid=s.valid.reshape(nb, bs),
+            )
+            step_keys = jax.random.split(k_steps, nb)
+            (params, opt_state), losses = jax.lax.scan(
+                train_step, (params, opt_state), (batches, step_keys)
+            )
+            return params, opt_state, jnp.mean(losses)
+
+        donate = (0, 1) if self.config.donate_params else ()
+        return jax.jit(train_epoch, donate_argnums=donate)
+
+    # -- public API --
+    def init_state(self, seed: Optional[int] = None):
+        key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
+        k_init, self._key = jax.random.split(key)
+        params = self.model.init(k_init)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def train_one_epoch(self, params, opt_state):
+        self._key, k = jax.random.split(self._key)
+        params, opt_state, loss = self._train_epoch(params, opt_state, k)
+        self.step += 1
+        return params, opt_state, float(loss)
+
+    def test(self, params) -> Dict[str, float]:
+        results, _ = self.evaluator(params, self.eval_data)
+        return results
+
+    def fit(self, epochs: Optional[int] = None):
+        """Full loop: initial eval; per epoch train + log; every test_span eval +
+        best-checkpoint (reference `train_epoch`, /root/reference/trainer.py:237-258)."""
+        cfg = self.config
+        epochs = epochs if epochs is not None else cfg.epochs
+        params, opt_state = self.init_state()
+        results = self.test(params)
+        self.logger.log(results, step=0)
+        for epoch in range(1, epochs + 1):
+            t0 = time.perf_counter()
+            params, opt_state, loss = self.train_one_epoch(params, opt_state)
+            dt = time.perf_counter() - t0
+            self.logger.log(
+                {
+                    "loss": loss,
+                    "epoch_time_s": dt,
+                    "samples_per_sec": self.samples_per_epoch / max(dt, 1e-9),
+                },
+                step=epoch,
+            )
+            if epoch % cfg.test_span == 0 or epoch == epochs:
+                results = self.test(params)
+                self.logger.log(results, step=epoch)
+                k0 = cfg.topks[0]
+                if results.get(f"recall@{k0}", -1.0) > self.max_recall:
+                    self.max_recall = results[f"recall@{k0}"]
+                    self.save(params, opt_state)
+                    cprint(f"[best] recall@{k0}={self.max_recall:.5f} @ epoch {epoch}")
+        return params, opt_state
+
+    def save(self, params, opt_state, path=None):
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": jnp.asarray(self.step),
+            "key": self._key,
+            "max_recall": jnp.asarray(self.max_recall),
+        }
+        save_checkpoint(path or checkpoint_path(self.config), state, self.config)

@@ -1,0 +1,105 @@
+"""Dataset ingestion + graph construction tests (reference parity on semantics:
+/root/reference/dataloader.py:66-300)."""
+
+import numpy as np
+import pytest
+
+from furusato_recommend_tpu.config import Config
+from furusato_recommend_tpu.data import load_text_dataset, synthetic_dataset
+from furusato_recommend_tpu.data.graph import build_bipartite_graph
+
+
+@pytest.fixture()
+def txt_dir(tmp_path):
+    cf = tmp_path / "cf"
+    cf.mkdir()
+    (cf / "train.txt").write_text(
+        "0 1 2 3\n"
+        "1 0 4\n"
+        "2 5\n"
+        "3 1 5 6 7\n"
+    )
+    (cf / "test.txt").write_text(
+        "0 4\n"
+        "1 2 3\n"
+        "3 0\n"
+    )
+    return tmp_path
+
+
+def test_text_loader_basic(txt_dir):
+    cfg = Config(data_path=str(txt_dir))
+    ds = load_text_dataset(cfg)
+    assert ds.n_users == 4
+    assert ds.m_items == 8
+    assert ds.train_size == 10
+    assert ds.test_size == 4
+    ap = ds.all_pos()
+    assert ap[0].tolist() == [1, 2, 3]
+    assert ap[2].tolist() == [5]
+    td = ds.test_dict()
+    assert td[1].tolist() == [2, 3]
+    assert 2 not in td
+
+
+def test_text_loader_for_lgbm(txt_dir):
+    # holds out int(len*ratio/0.7) items per user from the END of each row
+    cfg = Config(data_path=str(txt_dir), for_lgbm=True, lgbm_ratio=0.35)
+    ds = load_text_dataset(cfg)
+    # user 0 has 3 items: valid_len = int(3*0.5)=1 -> train keeps first 2
+    ap = ds.all_pos()
+    assert ap[0].tolist() == [1, 2]
+
+
+def test_text_loader_cold_start(txt_dir):
+    cfg = Config(data_path=str(txt_dir), cold_start=True)
+    ds = load_text_dataset(cfg)
+    # all uids < 10000 -> train_length = uid//2000 = 0 -> all interactions to test
+    assert ds.train_size == 0
+    assert ds.test_size == 10 + 4
+
+
+def test_graph_invariants(tiny_dataset, tiny_graph):
+    g = tiny_graph
+    up = np.asarray(g.user_pos.indptr)
+    ui = np.asarray(g.user_pos.indices)
+    assert up[-1] == tiny_dataset.train_size
+    # rows sorted
+    for u in range(0, g.n_users, 17):
+        row = ui[up[u] : up[u + 1]]
+        assert np.all(np.diff(row) >= 0)
+    # user->item and item->user CSRs are transposes
+    assert g.item_pos.indptr[-1] == g.user_pos.indptr[-1]
+    # norm edges: dst-sorted, symmetric weights, weight = 1/sqrt(du*di)
+    dst = np.asarray(g.norm_edges.dst)
+    assert np.all(np.diff(dst) >= 0)
+    src = np.asarray(g.norm_edges.src)
+    w = np.asarray(g.norm_edges.weight)
+    deg = np.bincount(
+        np.concatenate([tiny_dataset.train_user, tiny_dataset.train_item + g.n_users]),
+        minlength=g.num_nodes,
+    )
+    expect = 1.0 / np.sqrt(deg[src] * deg[dst])
+    np.testing.assert_allclose(w, expect, rtol=1e-5)
+    # row sums of A_hat: sum_j 1/sqrt(di dj) <= sqrt(di) * max stuff; just check
+    # each node's incident edge count equals its degree
+    cnt = np.bincount(dst, minlength=g.num_nodes)
+    np.testing.assert_array_equal(cnt, deg)
+
+
+def test_duplicate_interactions_kept():
+    g = build_bipartite_graph(
+        np.array([0, 0, 0]), np.array([1, 1, 2]), np.array([0]), np.array([3]), 2, 4
+    )
+    assert g.user_pos.nnz == 3  # duplicates preserved like reference COO arrays
+
+
+def test_synthetic_determinism():
+    a = synthetic_dataset(n_users=30, m_items=50, seed=5)
+    b = synthetic_dataset(n_users=30, m_items=50, seed=5)
+    np.testing.assert_array_equal(a.train_item, b.train_item)
+    np.testing.assert_array_equal(a.test_item, b.test_item)
+    # every test user has test items disjoint from train items
+    ap, td = a.all_pos(), a.test_dict()
+    for u, items in td.items():
+        assert len(np.intersect1d(items, ap[u])) == 0

@@ -1,0 +1,98 @@
+"""Unit tests for the core device ops: CSR search, alias tables, segment ops, SpMM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from furusato_recommend_tpu.data.graph import CSR, COOEdges
+from furusato_recommend_tpu.ops.alias import build_alias_table
+from furusato_recommend_tpu.ops.csr_search import csr_contains, csr_gather_padded, lower_bound
+from furusato_recommend_tpu.ops.segment import gather_segment_mean, segment_mean, spmm
+
+
+def _random_csr(rng, rows=40, vocab=100, max_deg=15):
+    indptr = [0]
+    indices = []
+    for _ in range(rows):
+        k = rng.integers(0, max_deg)
+        row = np.unique(rng.choice(vocab, size=k)) if k else np.empty(0, dtype=int)
+        indices.extend(row.tolist())
+        indptr.append(len(indices))
+    return CSR(jnp.asarray(indptr, jnp.int32), jnp.asarray(indices, jnp.int32))
+
+
+def test_lower_bound_matches_searchsorted():
+    rng = np.random.default_rng(0)
+    arr = np.sort(rng.integers(0, 1000, size=200))
+    vals = rng.integers(-5, 1005, size=64)
+    lo = jnp.zeros(64, jnp.int32)
+    hi = jnp.full(64, 200, jnp.int32)
+    got = lower_bound(jnp.asarray(arr), lo, hi, jnp.asarray(vals))
+    np.testing.assert_array_equal(np.asarray(got), np.searchsorted(arr, vals, side="left"))
+
+
+def test_csr_contains():
+    rng = np.random.default_rng(1)
+    csr = _random_csr(rng)
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    rows = rng.integers(0, 40, size=(32, 4))
+    vals = rng.integers(0, 100, size=(32, 4))
+    got = np.asarray(csr_contains(csr, jnp.asarray(rows), jnp.asarray(vals)))
+    for (r, v), g in zip(zip(rows.ravel(), vals.ravel()), got.ravel()):
+        expect = v in indices[indptr[r] : indptr[r + 1]]
+        assert g == expect
+
+
+def test_csr_gather_padded():
+    rng = np.random.default_rng(2)
+    csr = _random_csr(rng)
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    rows = jnp.asarray([0, 3, 7])
+    vals, mask = csr_gather_padded(csr, rows, pad_to=20)
+    vals, mask = np.asarray(vals), np.asarray(mask)
+    for i, r in enumerate([0, 3, 7]):
+        row = indices[indptr[r] : indptr[r + 1]]
+        assert mask[i].sum() == len(row)
+        np.testing.assert_array_equal(vals[i, : len(row)], row)
+        assert np.all(vals[i, len(row) :] == -1)
+
+
+def test_alias_table_distribution():
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    tbl = build_alias_table(w)
+    draws = tbl.sample(jax.random.PRNGKey(0), (40000,))
+    freq = np.bincount(np.asarray(draws), minlength=4) / 40000
+    np.testing.assert_allclose(freq, w / w.sum(), atol=0.02)
+
+
+def test_segment_mean_and_spmm_vs_scipy():
+    rng = np.random.default_rng(3)
+    n = 30
+    e = 200
+    src = rng.integers(0, n, e)
+    dst = np.sort(rng.integers(0, n, e))
+    w = rng.random(e).astype(np.float32)
+    x = rng.random((n, 8)).astype(np.float32)
+    edges = COOEdges(jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32), jnp.asarray(w))
+    got = np.asarray(spmm(edges, jnp.asarray(x), n))
+    a = sp.coo_matrix((w, (dst, src)), shape=(n, n)).tocsr()
+    np.testing.assert_allclose(got, a @ x, rtol=1e-4, atol=1e-5)
+
+    gm = np.asarray(gather_segment_mean(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst), n))
+    cnt = np.bincount(dst, minlength=n)
+    s = np.zeros((n, 8), np.float64)
+    np.add.at(s, dst, x[src])
+    expect = s / np.maximum(cnt, 1)[:, None]
+    np.testing.assert_allclose(gm, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_segment_mean_empty_segments():
+    x = jnp.ones((4, 2))
+    ids = jnp.asarray([0, 0, 2, 2])
+    out = np.asarray(segment_mean(x, ids, 4))
+    np.testing.assert_allclose(out[1], 0.0)
+    np.testing.assert_allclose(out[3], 0.0)
+    np.testing.assert_allclose(out[0], 1.0)
