@@ -5,13 +5,13 @@ step (`/root/reference/negative_sample.py:104-133` timed sample_time1/2) — as 
 number: triplets trained per second, including on-device sampling, forward,
 backward, and the optimizer update, for LightGCN on a realistic synthetic graph.
 
-vs_baseline: the reference's serial CPU sampler is its pipeline's bottleneck (it
-is a per-draw Python loop; the repo parallelizes it over only 4 processes —
-`/root/reference/negative_sample.py:74-96`). We measure a faithful
-reference-equivalent sampler (Python rejection loop over ragged allPos) on this
-machine, scale by 4 (their process count), and report tpu_samples_per_s over that
-— i.e. how many times faster the full TPU training loop is than the reference's
-*sampling alone*.
+vs_baseline: the reference's own algorithm measured end-to-end on the best
+non-TPU hardware in this container — a torch-CPU reference-equivalent LightGCN
+(serial Python rejection sampler feeding sparse-spmm propagation + Adam steps,
+the exact structure of `/root/reference/negative_sample.py:98-134` +
+`/root/reference/model/MF.py:178-217`), same graph, same dims, same batch size.
+The reference's GPUs are not available here; throughput baselines are measured,
+not inherited (BASELINE.md).
 
 Prints exactly one JSON line.
 """
@@ -20,33 +20,70 @@ from __future__ import annotations
 
 import json
 import time
+import warnings
 
 import numpy as np
 
+warnings.filterwarnings("ignore")  # stdout must stay exactly one JSON line
 
-def reference_equivalent_sampler_throughput(dataset, n_draws=20000, seed=0):
-    """Per-draw Python rejection sampling over ragged allPos — the reference
-    algorithm (uniform user, uniform positive, rejection-sampled negative)."""
+
+def reference_equivalent_throughput(dataset, dim=64, n_layers=2, batch=8192, n_batches=4, seed=0):
+    """Reference-equivalent LightGCN BPR training on torch CPU: per-draw Python
+    rejection sampling + full-graph sparse propagation per step + Adam."""
+    import torch
+
     rng = np.random.default_rng(seed)
     all_pos = dataset.all_pos()
     pos_sets = [set(a.tolist()) for a in all_pos]
-    m = dataset.m_items
-    n = dataset.n_users
+    n, m = dataset.n_users, dataset.m_items
+
+    # normalized adjacency as torch sparse COO over the joint space
+    g = dataset.graph
+    src = np.asarray(g.norm_edges.src)
+    dst = np.asarray(g.norm_edges.dst)
+    w = np.asarray(g.norm_edges.weight)
+    A = torch.sparse_coo_tensor(
+        torch.tensor(np.stack([dst, src])), torch.tensor(w), (n + m, n + m)
+    ).coalesce()
+    emb = torch.nn.Embedding(n + m, dim)
+    opt = torch.optim.Adam(emb.parameters(), lr=1e-3)
+
+    def sample(k):
+        out = np.empty((k, 3), np.int64)
+        i = 0
+        while i < k:
+            u = int(rng.integers(0, n))
+            row = all_pos[u]
+            if len(row) == 0:
+                continue
+            p = int(row[rng.integers(0, len(row))])
+            while True:
+                neg = int(rng.integers(0, m))
+                if neg not in pos_sets[u]:
+                    break
+            out[i] = (u, p, neg)
+            i += 1
+        return out
+
     t0 = time.perf_counter()
-    out = []
-    users = rng.integers(0, n, n_draws)
-    for u in users:
-        row = all_pos[u]
-        if len(row) == 0:
-            continue
-        p = row[rng.integers(0, len(row))]
-        while True:
-            neg = int(rng.integers(0, m))
-            if neg not in pos_sets[u]:
-                break
-        out.append((u, p, neg))
+    for _ in range(n_batches):
+        s = torch.tensor(sample(batch))
+        x = emb.weight
+        acc = x
+        h = x
+        for _ in range(n_layers):
+            h = torch.sparse.mm(A, h)
+            acc = acc + h
+        out = acc / (n_layers + 1)
+        u_e, p_e, n_e = out[s[:, 0]], out[n + s[:, 1]], out[n + s[:, 2]]
+        loss = torch.nn.functional.softplus(
+            (u_e * n_e).sum(1) - (u_e * p_e).sum(1)
+        ).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
     dt = time.perf_counter() - t0
-    return len(out) / dt
+    return n_batches * batch / dt
 
 
 def main():
@@ -83,7 +120,7 @@ def main():
     dt = time.perf_counter() - t0
     tpu_sps = n_epochs * tr.samples_per_epoch / dt
 
-    ref_sps = reference_equivalent_sampler_throughput(ds) * 4  # their 4 workers
+    ref_sps = reference_equivalent_throughput(ds)
 
     print(
         json.dumps(

@@ -118,7 +118,16 @@ def main(argv=None):
         f"{dataset.train_size} train / {dataset.test_size} test interactions; "
         f"sparsity {dataset.sparsity():.6f}"
     )
-    model = build_model(config.model, config, dataset.graph)
+    model_kw = {}
+    if config.model not in ("mf", "lgn", "rgcn", "radj", "lgcnssm"):
+        from .data.features import load_reference_features
+
+        model_kw["features"] = load_reference_features(config, config.data_path)
+        if config.model == "sasrec":
+            from .data.sequence import build_sequences
+
+            model_kw["sequences"] = build_sequences(dataset)
+    model = build_model(config.model, config, dataset.graph, **model_kw)
     logger = MetricLogger(
         jsonl_path=f"{config.path}/{config.model}/metrics.jsonl",
         wandb_run=(None if config.test_mode else config.wandb or None),

@@ -1,0 +1,213 @@
+"""Static-shape feature store for the SAGE/TextSAGE model family.
+
+The reference loads per-entity feature artifacts ad hoc inside each model's
+``__init__`` (`/root/reference/model/textsage.py:86-220`): numeric counter
+matrices (.npy), padded categorical id matrices (.npy), word2vec embeddings,
+sentence-transformer embeddings, and scipy CSR count-vectorizer text matrices
+(.pkl) whose nonzero *columns* (distinct word ids — values are ignored by the
+scatter-mean, `/root/reference/model/textsage.py:247-261`) feed a learned word
+embedding bag.
+
+TPU re-design: every feature is a dense static-shape device array —
+
+- numeric  [N, Fn] float32
+- categorical [N, Fc] int32 (already padded in the reference artifacts; the mean
+  over fields deliberately includes pad slots for exact parity,
+  `/root/reference/model/textsage.py:306-307`)
+- word2vec [N, 300], sentence [N, 768], bert [N, Db] float32
+- text: per field, padded distinct-word-id matrix [N, W] int32 with -1 padding
+  (the TPU replacement for ragged CSR rows; W caps the words per entity with a
+  documented truncation policy, SURVEY.md §7.3)
+
+plus optional per-edge arrays (timestamps for the temporal models, relation
+labels for RSAGE) aligned with the user_pos CSR edge order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from .dataset import Dataset
+
+__all__ = ["SideFeatures", "FeatureStore", "synthetic_features", "pad_text_rows"]
+
+#: projection input dims per feature flag (reference proj_dim map,
+#: /root/reference/model/textsage.py:170-175); 't' is 3 bags of d/2 and 'r' one
+#: extra bag of d/2.
+WORD2VEC_DIM = 300
+SENTENCE_DIM = 768
+BERT_DIM = 768
+TEXT_FIELDS = 3  # name, main_comment, main_list_comment
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SideFeatures:
+    """Features for one side (users or items). Unused ones are None."""
+
+    numeric: Optional[jnp.ndarray] = None  # [N, Fn] f32
+    categorical: Optional[jnp.ndarray] = None  # [N, Fc] i32
+    word2vec: Optional[jnp.ndarray] = None  # [N, 300] f32
+    sentence: Optional[jnp.ndarray] = None  # [N, 768] f32
+    bert: Optional[jnp.ndarray] = None  # [N, Db] f32
+    text: Optional[jnp.ndarray] = None  # [N, TEXT_FIELDS(+1 review), W] i32, -1 pad
+
+    @property
+    def n_entities(self) -> int:
+        for a in (self.numeric, self.categorical, self.word2vec, self.sentence, self.bert, self.text):
+            if a is not None:
+                return a.shape[0]
+        raise ValueError("empty SideFeatures")
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FeatureStore:
+    user: SideFeatures
+    item: SideFeatures
+    # static vocab sizes (python ints -> static for XLA)
+    user_cat_vocab: int = field(metadata=dict(static=True), default=0)
+    item_cat_vocab: int = field(metadata=dict(static=True), default=0)
+    text_vocab: int = field(metadata=dict(static=True), default=0)
+    n_relations: int = field(metadata=dict(static=True), default=0)
+    # optional per-edge data, aligned with BipartiteGraph.user_pos edge order
+    edge_time: Optional[jnp.ndarray] = None  # [E] f32 purchase timestamps
+    edge_label: Optional[jnp.ndarray] = None  # [E] i32 relation ids (rsage)
+
+
+def pad_text_rows(rows, width: int) -> np.ndarray:
+    """Ragged distinct-word-id rows -> [N, width] int32, -1 padded, truncating
+    rows longer than width (truncation keeps the first ids)."""
+    out = np.full((len(rows), width), -1, dtype=np.int32)
+    for i, r in enumerate(rows):
+        r = np.asarray(r, dtype=np.int32)[:width]
+        out[i, : len(r)] = r
+    return out
+
+
+def text_from_scipy_csr(mat, width: int) -> np.ndarray:
+    """scipy CSR count matrix -> padded distinct-word-id rows (values ignored,
+    matching the reference's COO scatter which ignores counts)."""
+    rows = [mat.indices[mat.indptr[i] : mat.indptr[i + 1]] for i in range(mat.shape[0])]
+    return pad_text_rows(rows, width)
+
+
+def synthetic_features(
+    dataset: Dataset,
+    config: Config,
+    seed: int = 0,
+    n_numeric_user: int = 24,
+    n_numeric_item: int = 16,
+    n_cat_fields_user: int = 4,
+    n_cat_fields_item: int = 5,
+    cat_vocab_user: int = 40,
+    cat_vocab_item: int = 60,
+    text_vocab: int = 500,
+    text_width: int = 12,
+    with_edge_time: bool = False,
+    with_edge_label: bool = False,
+    n_relations: int = 3,
+) -> FeatureStore:
+    """Deterministic synthetic feature artifacts shaped like the reference's
+    (for tests/bench; the real pipeline writes identical shapes from
+    preprocessing/)."""
+    rng = np.random.default_rng(seed)
+    nu, mi = dataset.n_users, dataset.m_items
+    E = dataset.train_size
+
+    def side(n, fn, fc, vocab):
+        n_fields = TEXT_FIELDS + (1 if (n == mi and "r" in config.item_feature) else 0)
+        text = np.full((n, n_fields, text_width), -1, dtype=np.int32)
+        for i in range(n):
+            for f in range(n_fields):
+                k = rng.integers(1, text_width)
+                text[i, f, :k] = rng.choice(text_vocab, size=k, replace=False)
+        return SideFeatures(
+            numeric=jnp.asarray(rng.random((n, fn)).astype(np.float32)),
+            categorical=jnp.asarray(rng.integers(0, vocab, (n, fc)).astype(np.int32)),
+            word2vec=jnp.asarray(
+                (rng.standard_normal((n, WORD2VEC_DIM)) * 0.1).astype(np.float32)
+            ),
+            sentence=jnp.asarray(
+                (rng.standard_normal((n, SENTENCE_DIM)) * 0.1).astype(np.float32)
+            ),
+            bert=jnp.asarray((rng.standard_normal((n, BERT_DIM)) * 0.1).astype(np.float32)),
+            text=jnp.asarray(text),
+        )
+
+    return FeatureStore(
+        user=side(nu, n_numeric_user, n_cat_fields_user, cat_vocab_user),
+        item=side(mi, n_numeric_item, n_cat_fields_item, cat_vocab_item),
+        user_cat_vocab=cat_vocab_user,
+        item_cat_vocab=cat_vocab_item,
+        text_vocab=text_vocab,
+        n_relations=n_relations if with_edge_label else 0,
+        edge_time=jnp.asarray(rng.random(E).astype(np.float32)) if with_edge_time else None,
+        edge_label=jnp.asarray(rng.integers(0, n_relations, E).astype(np.int32))
+        if with_edge_label
+        else None,
+    )
+
+
+def load_reference_features(config: Config, base_path: str) -> FeatureStore:
+    """Load the reference's on-disk artifacts (SURVEY.md §2.5 outputs):
+    ``customer_feature_pad{sfx}.npy``, ``product_feature_pad{sfx}.npy``,
+    ``user_text_emb{sfx}.npy``, ``product_text_emb{sfx}.npy``,
+    ``*_numeric_feature{sfx}.npy``, ``product_sentence_emb{sfx}.npy`` and the
+    ``*_count{sfx}.pkl`` scipy CSR text matrices
+    (`/root/reference/model/textsage.py:86-220` path scheme)."""
+    import pickle
+    from pathlib import Path
+
+    sfx = config.suffix
+    cb = Path(base_path) / "cb" / sfx if sfx else Path(base_path) / "cb"
+    tx = Path(base_path) / "text" / sfx if sfx else Path(base_path) / "text"
+
+    def np_load(p):
+        return np.load(p, allow_pickle=True)
+
+    def pkl_load(p):
+        with open(p, "rb") as f:
+            return pickle.load(f)
+
+    user_cat = np_load(cb / f"customer_feature_pad{sfx}.npy").astype(np.int32)
+    item_cat = np_load(cb / f"product_feature_pad{sfx}.npy").astype(np.int32)
+    text_width = 64
+
+    def side_text(prefix, entity, extra_review=False):
+        fields = ["name", "main_comment", "main_list_comment"]
+        mats = [pkl_load(tx / f"{prefix}_{f}_count{sfx}.pkl") for f in fields]
+        if extra_review:
+            mats.append(pkl_load(tx / f"product_review{sfx}.pkl"))
+        padded = [text_from_scipy_csr(m, text_width) for m in mats]
+        return np.stack(padded, axis=1), mats[0].shape[1]
+
+    user_text, vocab = side_text("user", "user")
+    item_text, _ = side_text("product", "item", extra_review="r" in config.item_feature)
+
+    user = SideFeatures(
+        numeric=jnp.asarray(np_load(cb / f"user_numeric_feature{sfx}.npy"), jnp.float32),
+        categorical=jnp.asarray(user_cat),
+        word2vec=jnp.asarray(np_load(tx / f"user_text_emb{sfx}.npy"), jnp.float32),
+        text=jnp.asarray(user_text),
+    )
+    item = SideFeatures(
+        numeric=jnp.asarray(np_load(cb / f"product_numeric_feature{sfx}.npy"), jnp.float32),
+        categorical=jnp.asarray(item_cat),
+        word2vec=jnp.asarray(np_load(tx / f"product_text_emb{sfx}.npy"), jnp.float32),
+        sentence=jnp.asarray(np_load(cb / f"product_sentence_emb{sfx}.npy"), jnp.float32),
+        text=jnp.asarray(item_text),
+    )
+    return FeatureStore(
+        user=user,
+        item=item,
+        user_cat_vocab=int(user_cat.max()) + 1,
+        item_cat_vocab=int(item_cat.max()) + 1,
+        text_vocab=vocab,
+    )

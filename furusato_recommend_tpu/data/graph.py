@@ -22,10 +22,14 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
+from typing import TYPE_CHECKING, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+if TYPE_CHECKING:
+    from ..ops.padded_adj import PaddedAdjPair
 
 __all__ = ["CSR", "COOEdges", "BipartiteGraph", "build_bipartite_graph"]
 
@@ -98,6 +102,17 @@ class BipartiteGraph:
     # `/root/reference/dataloader.py:195-258`)
     norm_edges: COOEdges
 
+    # degree-bucketed padded adjacencies (scatter-free SpMM; ops/padded_adj.py):
+    # norm_padded — A_hat over the joint space (symmetric, self-transpose);
+    # user_agg / item_agg — 1/deg mean aggregation per direction (+ transposes)
+    norm_padded: Optional["PaddedAdjPair"] = None
+    user_agg: Optional["PaddedAdjPair"] = None
+    item_agg: Optional["PaddedAdjPair"] = None
+
+    # permutation taking per-edge arrays from user_pos CSR order to item_pos CSR
+    # order (for edge features: timestamps, relation labels)
+    item_edge_perm: Optional[jnp.ndarray] = None
+
     @property
     def num_nodes(self) -> int:
         return self.n_users + self.m_items
@@ -131,6 +146,7 @@ def build_bipartite_graph(
     test_item: np.ndarray,
     n_users: int,
     m_items: int,
+    padded: bool = True,
 ) -> BipartiteGraph:
     """Construct the device graph from COO interaction arrays.
 
@@ -148,6 +164,13 @@ def build_bipartite_graph(
     ip_indptr, ip_indices = _csr_from_coo(train_item, train_user, m_items)
     tp_indptr, tp_indices = _csr_from_coo(test_user, test_item, n_users)
 
+    # edge-feature permutation: user-order -> item-order
+    order_u = np.lexsort((train_item, train_user))
+    order_i = np.lexsort((train_user, train_item))
+    inv_order_u = np.empty(len(order_u), np.int64)
+    inv_order_u[order_u] = np.arange(len(order_u))
+    item_edge_perm = inv_order_u[order_i].astype(np.int32)
+
     # joint-space bidirectional edges
     src = np.concatenate([train_user, train_item + n_users]).astype(np.int64)
     dst = np.concatenate([train_item + n_users, train_user]).astype(np.int64)
@@ -160,6 +183,19 @@ def build_bipartite_graph(
     order = np.argsort(dst, kind="stable")
     src, dst, weight = src[order], dst[order], weight[order]
 
+    norm_padded = user_agg = item_agg = None
+    if padded:
+        from ..ops.padded_adj import PaddedAdjPair, build_padded_adj, build_padded_pair
+
+        sym = build_padded_adj(src, dst, weight, n_users + m_items)
+        norm_padded = PaddedAdjPair(fwd=sym, bwd=sym)  # symmetric: A^T = A
+        deg_u = np.maximum(np.bincount(train_user, minlength=n_users), 1)
+        deg_i = np.maximum(np.bincount(train_item, minlength=m_items), 1)
+        w_mean_u = (1.0 / deg_u[train_user]).astype(np.float32)
+        user_agg = build_padded_pair(train_item, train_user, w_mean_u, n_users, m_items)
+        w_mean_i = (1.0 / deg_i[train_item]).astype(np.float32)
+        item_agg = build_padded_pair(train_user, train_item, w_mean_i, m_items, n_users)
+
     dev = jnp.asarray
     return BipartiteGraph(
         n_users=int(n_users),
@@ -170,4 +206,8 @@ def build_bipartite_graph(
         norm_edges=COOEdges(
             dev(src.astype(np.int32)), dev(dst.astype(np.int32)), dev(weight)
         ),
+        norm_padded=norm_padded,
+        user_agg=user_agg,
+        item_agg=item_agg,
+        item_edge_perm=dev(item_edge_perm),
     )

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..data.graph import BipartiteGraph, COOEdges
+from ..ops.padded_adj import padded_spmm
 from ..ops.segment import spmm
 from .base import PairwiseModel, Params, bpr_loss_from_scores, l2_ego
 
@@ -87,14 +88,25 @@ class LightGCN(PairwiseModel):
         return COOEdges(edges.src, edges.dst, w)
 
     def propagate(self, params: Params, graph: BipartiteGraph, key=None):
-        edges = self._edges(graph)
-        if self.config.dropout and key is not None:
-            edges = self._dropout_edges(edges, key)
+        # fast path: scatter-free padded SpMM with transpose-VJP (sym norm, no
+        # per-step edge dropout; see ops/padded_adj.py microbench numbers)
+        use_padded = (
+            graph.norm_padded is not None
+            and self.norm == "sym"
+            and not (self.config.dropout and key is not None)
+        )
+        if use_padded:
+            step = lambda h: padded_spmm(graph.norm_padded, h)
+        else:
+            edges = self._edges(graph)
+            if self.config.dropout and key is not None:
+                edges = self._dropout_edges(edges, key)
+            step = lambda h: spmm(edges, h, graph.num_nodes)
         x = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         acc = x
         h = x
         for _ in range(self.n_layers):
-            h = spmm(edges, h, graph.num_nodes)
+            h = step(h)
             acc = acc + h
         out = acc / (self.n_layers + 1)
         return out[: self.n_users], out[self.n_users :]

@@ -42,3 +42,84 @@ register("lgn")(lambda c, g, **kw: LightGCN(c, g, norm="sym", **kw))
 register("rgcn")(lambda c, g, **kw: LightGCN(c, g, norm="sym", **kw))  # scatter clone of lgn
 register("radj")(lambda c, g, **kw: LightGCN(c, g, norm="asym", **kw))
 register("lgcnssm")(lambda c, g, **kw: LightGCN(c, g, norm="sym", loss_mode="softmax", **kw))
+
+
+# --- SAGE / TextSAGE family (features required; see models/sage.py header for
+# the reference-variant -> configuration mapping) ---
+def _sage(conv="sage_cat", **fixed):
+    def make(c, g, features=None, **kw):
+        from .sage import SAGE
+
+        if features is None:
+            raise ValueError("SAGE-family models require features=FeatureStore(...)")
+        return SAGE(c, g, features, conv=conv, **{**fixed, **kw})
+
+    return make
+
+
+register("textsage")(_sage("sage_cat"))
+register("dask")(_sage("sage_cat"))  # out-of-core numeric feature variant: same
+# model; host-side feature streaming is the input pipeline's job on TPU
+register("textsage_id")(_sage("sage_cat", use_id_embedding=True))
+register("sage")(_sage("sage_cat", use_id_embedding=True))
+register("fsage")(_sage("sage_cat", use_id_embedding=True))
+register("fastsage")(_sage("sage_w2"))
+register("lightsage")(_sage("light"))
+register("pinsage")(_sage("pinsage"))
+register("mrec")(_sage("sage_cat", towers=True))
+register("nssage")(_sage("sage_cat", full_graph_train=True))
+register("tgrec")(_sage("transformer"))
+register("tgrec2")(_sage("transformer_cat"))
+
+
+register("tgsrec")(_sage("temporal"))  # needs features.edge_time
+register("sasgnn")(_sage("recency"))  # needs features.edge_time
+
+
+def _rsage(c, g, features=None, **kw):
+    """Multi-relational SAGE (/root/reference/model/rsage.py); relation combine
+    mode from --multi_relational; needs features.edge_label."""
+    from .sage import SAGE
+
+    if features is None:
+        raise ValueError("rsage requires features=FeatureStore(...)")
+    return SAGE(c, g, features, conv=f"relational_{c.multi_relational}", **kw)
+
+
+register("rsage")(_rsage)
+
+
+def _sasrec(c, g, features=None, sequences=None, **kw):
+    """Sequence tier (/root/reference/model/sasrec.py). sequences defaults to
+    appearance-order train sequences built from the graph's dataset."""
+    from .sasrec import SASRec
+
+    if features is None or sequences is None:
+        raise ValueError("sasrec requires features= and sequences=")
+    return SASRec(c, g, features, sequences, **kw)
+
+
+register("sasrec")(_sasrec)
+
+
+def _asage(c, g, features=None, **kw):
+    from .asage import ASAGE
+
+    if features is None:
+        raise ValueError("asage requires features=FeatureStore(...)")
+    return ASAGE(c, g, features, **kw)
+
+
+register("asage")(_asage)
+
+
+def _gnn(c, g, features=None, **kw):
+    """`--conv`-pluggable model (/root/reference/model/gnn.py:185-232)."""
+    from .sage import SAGE
+
+    if features is None:
+        raise ValueError("gnn requires features=FeatureStore(...)")
+    return SAGE(c, g, features, conv=c.conv, **kw)
+
+
+register("gnn")(_gnn)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..data.graph import CSR
 
-__all__ = ["lower_bound", "csr_contains", "csr_gather_padded"]
+__all__ = ["lower_bound", "csr_contains", "csr_gather_padded", "csr_row_ids"]
 
 _SEARCH_ITERS = 32  # supports nnz < 2^32
 
@@ -61,6 +61,14 @@ def csr_contains(csr: CSR, rows: jnp.ndarray, vals: jnp.ndarray) -> jnp.ndarray:
     in_row = pos < hi
     found = csr.indices[jnp.clip(pos, 0, max(nnz - 1, 0))] == vals_b
     return in_row & found
+
+
+def csr_row_ids(csr: CSR) -> jnp.ndarray:
+    """[nnz] row index of each CSR entry (ascending — usable as sorted segment
+    ids). Computed on device via searchsorted so it fuses into jitted programs."""
+    nnz = csr.indices.shape[0]
+    positions = jnp.arange(nnz, dtype=csr.indptr.dtype)
+    return (jnp.searchsorted(csr.indptr, positions, side="right") - 1).astype(jnp.int32)
 
 
 def csr_gather_padded(csr: CSR, rows: jnp.ndarray, pad_to: int, fill: int = -1):

@@ -1,0 +1,140 @@
+"""Degree-bucketed padded adjacency (ELL-style) SpMM with a transpose-VJP.
+
+Why: XLA lowers `segment_sum` to scatter-add, and the VJP of a gather is also a
+scatter-add — so the naive COO SpMM pays the slow TPU scatter path twice.
+Measured on a v5e chip (2.9M edges, 70k nodes, d=64):
+
+    segment_sum  fwd 32.5 ms   fwd+bwd  84.3 ms
+    padded       fwd 25.6 ms   fwd+bwd 128.3 ms   (XLA scatter in backward)
+    padded+TVJP  fwd 25.6 ms   fwd+bwd ~51 ms     (backward = transposed fwd)
+
+Design: nodes are bucketed by degree into power-of-two caps; each bucket is a
+dense [n_b, cap] neighbor/weight block, so the reduction is a dense masked sum
+(VPU) instead of a scatter, and the only gather is x[neighbors]. Outputs are
+computed in bucket order and un-permuted with one gather. The backward pass is
+the same operation over the pre-built transposed adjacency (custom_vjp), so no
+scatter appears anywhere in the differentiated program.
+
+This replaces both cuSPARSE spmm (`/root/reference/model/MF.py:200-204`) and
+torch-scatter mean-aggregation (`/root/reference/model/textsage.py:457-487`) —
+a mean is just an SpMM with 1/deg(dst) edge weights.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["PaddedAdj", "PaddedAdjPair", "build_padded_adj", "build_padded_pair", "padded_spmm"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PaddedAdj:
+    """Degree-bucketed padded adjacency over one destination set."""
+
+    # per bucket: neighbors [n_b, cap] int32 (0-padded), weights [n_b, cap] f32
+    # (0-padded, so pads contribute nothing)
+    bucket_nbrs: Tuple[jnp.ndarray, ...]
+    bucket_weights: Tuple[jnp.ndarray, ...]
+    inv_perm: jnp.ndarray  # [num_dst] int32: output position -> bucket-order row
+    num_dst: int = field(metadata=dict(static=True), default=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PaddedAdjPair:
+    fwd: PaddedAdj
+    bwd: PaddedAdj  # transposed adjacency, for the VJP
+
+
+def build_padded_adj(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    num_dst: int,
+    min_cap: int = 4,
+) -> PaddedAdj:
+    """Host-side vectorized construction (numpy). Edges need not be sorted."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float32)
+    order = np.argsort(dst, kind="stable")
+    src_s, w_s = src[order], weight[order]
+    deg = np.bincount(dst, minlength=num_dst)
+    start = np.zeros(num_dst + 1, dtype=np.int64)
+    np.cumsum(deg, out=start[1:])
+
+    caps = [min_cap]
+    while caps[-1] < max(int(deg.max(initial=1)), 1):
+        caps.append(caps[-1] * 2)
+
+    nbrs, weights, node_order = [], [], []
+    lo = 0
+    for cap in caps:
+        nodes = np.where((deg > lo) & (deg <= cap))[0] if lo else np.where(deg <= cap)[0]
+        lo = cap
+        if len(nodes) == 0:
+            continue
+        pos = start[nodes][:, None] + np.arange(cap)[None, :]
+        mask = np.arange(cap)[None, :] < deg[nodes][:, None]
+        pos_c = np.clip(pos, 0, max(len(src_s) - 1, 0))
+        nbrs.append(np.where(mask, src_s[pos_c], 0).astype(np.int32))
+        weights.append(np.where(mask, w_s[pos_c], 0.0).astype(np.float32))
+        node_order.append(nodes)
+    node_order = np.concatenate(node_order) if node_order else np.empty(0, np.int64)
+    inv = np.empty(num_dst, np.int64)
+    inv[node_order] = np.arange(num_dst)
+    return PaddedAdj(
+        bucket_nbrs=tuple(jnp.asarray(a) for a in nbrs),
+        bucket_weights=tuple(jnp.asarray(a) for a in weights),
+        inv_perm=jnp.asarray(inv, jnp.int32),
+        num_dst=int(num_dst),
+    )
+
+
+def build_padded_pair(
+    src: np.ndarray, dst: np.ndarray, weight: np.ndarray, num_dst: int, num_src: int
+) -> PaddedAdjPair:
+    return PaddedAdjPair(
+        fwd=build_padded_adj(src, dst, weight, num_dst),
+        bwd=build_padded_adj(dst, src, weight, num_src),
+    )
+
+
+def _apply(adj: PaddedAdj, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """y[v] = sum_u w(u->v) x[u], bucketed dense reductions. f32 accumulation."""
+    xc = x.astype(compute_dtype)
+    outs = []
+    for nbr, w in zip(adj.bucket_nbrs, adj.bucket_weights):
+        xg = xc[nbr]  # [n_b, cap, d] gather — the only memory-bound op
+        outs.append(
+            jnp.einsum(
+                "nc,ncd->nd", w.astype(compute_dtype), xg, preferred_element_type=jnp.float32
+            )
+        )
+    y = jnp.concatenate(outs, axis=0)
+    return y[adj.inv_perm].astype(x.dtype)
+
+
+def padded_spmm(
+    pair: PaddedAdjPair, x: jnp.ndarray, compute_dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """SpMM with transpose-VJP: grad_x = A^T g runs as a padded forward too."""
+
+    @jax.custom_vjp
+    def f(x):
+        return _apply(pair.fwd, x, compute_dtype)
+
+    def f_fwd(x):
+        return _apply(pair.fwd, x, compute_dtype), None
+
+    def f_bwd(_, g):
+        return (_apply(pair.bwd, g, compute_dtype),)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x)

@@ -17,7 +17,15 @@ import jax.numpy as jnp
 
 from ..data.graph import COOEdges
 
-__all__ = ["segment_sum", "segment_mean", "segment_max", "spmm", "gather_segment_mean"]
+__all__ = [
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "spmm",
+    "gather_segment_mean",
+    "segment_softmax_aggregate",
+    "segment_mh_attention",
+]
 
 
 def segment_sum(data, segment_ids, num_segments, sorted_ids=True):
@@ -48,6 +56,51 @@ def spmm(edges: COOEdges, x: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
     """
     msg = x[edges.src] * edges.weight[:, None].astype(x.dtype)
     return segment_sum(msg, edges.dst, num_nodes, sorted_ids=True)
+
+
+def segment_softmax_aggregate(
+    csr, scores_src, scores_dst, values, num_dst, activation="leaky_relu"
+):
+    """Exact full-graph attention aggregation over CSR edges:
+    out[v] = sum_{u in N(v)} softmax_u(act(s_src[u] + s_dst[v])) * values[u].
+
+    Two-pass segment softmax (max, then exp-sum) — the TPU-native form of PyG's
+    GATConv message passing used by `--conv gat` (`/root/reference/model/gnn.py:185-232`).
+    """
+    from .csr_search import csr_row_ids
+
+    rows = csr_row_ids(csr)
+    e = scores_src[csr.indices] + scores_dst[rows]
+    if activation == "leaky_relu":
+        e = jax.nn.leaky_relu(e, 0.2)
+    e_max = jax.ops.segment_max(e, rows, num_segments=num_dst, indices_are_sorted=True)
+    e_max = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
+    w = jnp.exp(e - e_max[rows])
+    denom = segment_sum(w, rows, num_dst)
+    alpha = w / jnp.maximum(denom[rows], 1e-12)
+    return segment_sum(values[csr.indices] * alpha[:, None], rows, num_dst)
+
+
+def segment_mh_attention(lp, x_self, other_x, csr, n_heads):
+    """Exact full-graph multi-head dot-product attention (TransformerConv,
+    `/root/reference/model/tgrec.py:161-171`) via per-head segment softmax."""
+    from .csr_search import csr_row_ids
+
+    d = x_self.shape[-1]
+    dh = d // n_heads
+    num_dst = x_self.shape[0]
+    rows = csr_row_ids(csr)
+    q = (x_self @ lp["wq"]).reshape(num_dst, n_heads, dh)
+    k = (other_x @ lp["wk"]).reshape(other_x.shape[0], n_heads, dh)
+    v = (other_x @ lp["wv"]).reshape(other_x.shape[0], n_heads, dh)
+    e = jnp.sum(q[rows] * k[csr.indices], axis=-1) / jnp.sqrt(dh)  # [E, H]
+    e_max = jax.ops.segment_max(e, rows, num_segments=num_dst, indices_are_sorted=True)
+    e_max = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
+    w = jnp.exp(e - e_max[rows])
+    denom = segment_sum(w, rows, num_dst)
+    alpha = w / jnp.maximum(denom[rows], 1e-12)  # [E, H]
+    out = segment_sum(v[csr.indices] * alpha[..., None], rows, num_dst)  # [N, H, dh]
+    return out.reshape(num_dst, d)
 
 
 def gather_segment_mean(

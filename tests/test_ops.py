@@ -96,3 +96,51 @@ def test_segment_mean_empty_segments():
     np.testing.assert_allclose(out[1], 0.0)
     np.testing.assert_allclose(out[3], 0.0)
     np.testing.assert_allclose(out[0], 1.0)
+
+
+def test_padded_adj_matches_scipy():
+    from furusato_recommend_tpu.ops.padded_adj import build_padded_pair, padded_spmm
+
+    rng = np.random.default_rng(4)
+    n_src, n_dst, e = 50, 35, 300
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst, e)
+    w = rng.random(e).astype(np.float32)
+    x = rng.random((n_src, 8)).astype(np.float32)
+    pair = build_padded_pair(src, dst, w, n_dst, n_src)
+    got = np.asarray(padded_spmm(pair, jnp.asarray(x), compute_dtype=jnp.float32))
+    a = sp.coo_matrix((w, (dst, src)), shape=(n_dst, n_src)).tocsr()
+    np.testing.assert_allclose(got, a @ x, rtol=1e-4, atol=1e-5)
+    # transpose-VJP == true gradient
+    f = lambda x: jnp.sum(padded_spmm(pair, x, compute_dtype=jnp.float32) ** 2)
+    gx = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    expect = 2 * (a.T @ (a @ x))
+    np.testing.assert_allclose(gx, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_segment_softmax_aggregate_matches_dense():
+    from furusato_recommend_tpu.data import synthetic_dataset
+    from furusato_recommend_tpu.ops.segment import segment_softmax_aggregate
+
+    ds = synthetic_dataset(n_users=30, m_items=40, avg_degree=6, seed=9)
+    g = ds.graph
+    rng = np.random.default_rng(5)
+    s_src = rng.standard_normal(g.m_items).astype(np.float32)
+    s_dst = rng.standard_normal(g.n_users).astype(np.float32)
+    vals = rng.standard_normal((g.m_items, 4)).astype(np.float32)
+    got = np.asarray(
+        segment_softmax_aggregate(
+            g.user_pos, jnp.asarray(s_src), jnp.asarray(s_dst), jnp.asarray(vals),
+            g.n_users,
+        )
+    )
+    ap = ds.all_pos()
+    for u in range(g.n_users):
+        nbrs = ap[u]
+        if len(nbrs) == 0:
+            np.testing.assert_allclose(got[u], 0.0, atol=1e-6)
+            continue
+        e = s_src[nbrs] + s_dst[u]
+        e = np.where(e > 0, e, 0.2 * e)  # leaky_relu
+        a = np.exp(e - e.max()); a /= a.sum()
+        np.testing.assert_allclose(got[u], (a[:, None] * vals[nbrs]).sum(0), rtol=1e-4, atol=1e-5)
