@@ -1,0 +1,161 @@
+"""TPU re-ranker — the LightGBM LambdaRank replacement (SURVEY.md §2.6, §2.8).
+
+The reference trains ``lgb.LGBMRanker(n_estimators=1000)`` with per-user query
+groups (`/root/reference/train_lgbm.py:176-188`) over the make_X features. A
+gradient-boosted tree library has no TPU story, so the re-ranker is re-designed
+as a **feature-cross MLP trained with a LambdaRank pairwise objective**:
+
+- categorical id columns -> shared embedding table (ids are globally offset per
+  column by the preprocessing encoders, like the reference artifacts),
+- numeric columns -> linear projection,
+- 2-layer relu MLP -> scalar score,
+- loss over padded per-user candidate groups: for every (i, j) with
+  label_i > label_j, logistic(s_j - s_i), optionally weighted by |delta-NDCG|
+  of swapping i and j at the current ranks (``objective="lambdarank"``).
+
+Training runs as one jitted lax.scan over user-group minibatches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.features import FeatureStore
+from .features import RankFeatureSpec, make_X_ids, rank_feature_spec
+
+__all__ = ["NeuralRanker", "RankGroups"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RankGroups:
+    """Padded per-user candidate groups."""
+
+    users: jnp.ndarray  # [G] int32
+    items: jnp.ndarray  # [G, C] int32 candidate ids
+    labels: jnp.ndarray  # [G, C] float32 (1 = relevant)
+    mask: jnp.ndarray  # [G, C] bool
+
+
+def _xavier(key, shape):
+    a = jnp.sqrt(6.0 / (shape[0] + shape[-1]))
+    return jax.random.uniform(key, shape, jnp.float32, -a, a)
+
+
+class NeuralRanker:
+    def __init__(
+        self,
+        features: FeatureStore,
+        emb_dim: int = 16,
+        hidden: Tuple[int, int] = (256, 128),
+        objective: str = "lambdarank",  # or "pairwise"
+        ndcg_at: int = 10,
+    ):
+        self.features = features
+        self.spec: RankFeatureSpec = rank_feature_spec(features)
+        self.emb_dim = emb_dim
+        self.hidden = hidden
+        self.objective = objective
+        self.ndcg_at = ndcg_at
+        s = self.spec
+        self.in_dim = (s.n_item_cat + s.n_user_cat) * emb_dim + s.n_user_num + s.n_item_num
+
+    def init(self, key: jax.Array) -> Dict:
+        ks = jax.random.split(key, 4)
+        h1, h2 = self.hidden
+        return {
+            "cat_emb": 0.05 * jax.random.normal(ks[0], (self.spec.cat_vocab, self.emb_dim)),
+            "w1": _xavier(ks[1], (self.in_dim, h1)),
+            "b1": jnp.zeros((h1,)),
+            "w2": _xavier(ks[2], (h1, h2)),
+            "b2": jnp.zeros((h2,)),
+            "w3": _xavier(ks[3], (h2, 1)),
+            "b3": jnp.zeros((1,)),
+        }
+
+    def score(self, params, users: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
+        """Scores for (user, item) pairs of any shared shape [...]."""
+        cat, num = make_X_ids(self.features, users, items)
+        ce = params["cat_emb"][jnp.clip(cat, 0, self.spec.cat_vocab - 1)]
+        x = jnp.concatenate([ce.reshape(ce.shape[:-2] + (-1,)), num], axis=-1)
+        h = jax.nn.relu(x @ params["w1"] + params["b1"])
+        h = jax.nn.relu(h @ params["w2"] + params["b2"])
+        return (h @ params["w3"] + params["b3"])[..., 0]
+
+    # -- loss --
+    def group_loss(self, params, groups: RankGroups) -> jnp.ndarray:
+        s = self.score(params, groups.users[:, None], groups.items)  # [G, C]
+        s = jnp.where(groups.mask, s, -1e9)
+        lab = groups.labels * groups.mask
+        # pair matrix: i relevant over j
+        pref = (lab[:, :, None] > lab[:, None, :]) & (
+            groups.mask[:, :, None] & groups.mask[:, None, :]
+        )
+        diff = s[:, :, None] - s[:, None, :]
+        per_pair = jax.nn.softplus(-diff)  # -log sigma(s_i - s_j)
+        if self.objective == "lambdarank":
+            # |delta NDCG| of swapping i, j at current ranks
+            ranks = jnp.argsort(jnp.argsort(-s, axis=1), axis=1)  # 0-based
+            disc = 1.0 / jnp.log2(2.0 + ranks)  # [G, C]
+            disc = jnp.where(ranks < self.ndcg_at, disc, 0.0)
+            gain = 2.0**lab - 1.0
+            delta = jnp.abs(
+                (gain[:, :, None] - gain[:, None, :])
+                * (disc[:, :, None] - disc[:, None, :])
+            )
+            per_pair = per_pair * delta
+        tot = jnp.sum(per_pair * pref)
+        return tot / jnp.maximum(jnp.sum(pref), 1.0)
+
+    # -- training --
+    def fit(
+        self,
+        groups: RankGroups,
+        epochs: int = 30,
+        batch_groups: int = 256,
+        lr: float = 1e-3,
+        seed: int = 0,
+        verbose: bool = False,
+    ) -> Dict:
+        params = self.init(jax.random.PRNGKey(seed))
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+        G = groups.users.shape[0]
+        nb = max(G // batch_groups, 1)
+        gsize = nb * batch_groups
+
+        def step(carry, idx):
+            params, opt_state = carry
+            batch = jax.tree_util.tree_map(lambda a: a[idx], groups)
+            loss, grads = jax.value_and_grad(self.group_loss)(params, batch)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        @jax.jit
+        def epoch(params, opt_state, key):
+            perm = jax.random.permutation(key, G)
+            idx = jnp.resize(perm, (gsize,)).reshape(nb, batch_groups)
+            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), idx)
+            return params, opt_state, jnp.mean(losses)
+
+        key = jax.random.PRNGKey(seed + 1)
+        for e in range(epochs):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = epoch(params, opt_state, k)
+            if verbose:
+                print(f"[ranker] epoch {e} loss {float(loss):.5f}")
+        return params
+
+    def rank(self, params, users: jnp.ndarray, cand_items: jnp.ndarray, k: int = 10):
+        """Per-user re-rank: [U], [U, C] -> top-k item ids [U, k]
+        (eval_lgbm.py:67-117 protocol: predict, sort, take 10)."""
+        s = self.score(params, users[:, None], cand_items)
+        order = jnp.argsort(-s, axis=1)[:, :k]
+        return jnp.take_along_axis(cand_items, order, axis=1)
