@@ -119,6 +119,7 @@ class Config:
     neg_candidates: int = 8  # bounded on-device rejection-sampling width
     eval_user_batch: int = 1024  # device-side eval tile (users per scoring block)
     donate_params: bool = True
+    compute_auc: bool = False  # per-user AUC during eval (reference metric.py:149-158)
 
     def __post_init__(self):
         for f in self.user_feature:

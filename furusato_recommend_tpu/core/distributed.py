@@ -1,0 +1,50 @@
+"""Multi-host initialization + PRNG discipline.
+
+TPU-native replacement for the reference's NCCL rendezvous
+(``MASTER_ADDR/PORT`` env + ``dist.init_process_group("nccl")``,
+`/root/reference/ddp.py:884-891`): ``jax.distributed.initialize()`` discovers
+the slice topology; there are no explicit barriers — SPMD program order is the
+synchronization.
+
+Two RNG regimes (SURVEY.md §7.3) are made explicit:
+- ``host_divergent_key``: per-host independent sampling streams — the DDP
+  recipe's ``np.random.seed(1000 * rank)`` trick (`/root/reference/ddp.py:768`)
+  as ``fold_in(key, process_index)``,
+- a shared key (same on all hosts) for model init / eval, which must NOT be
+  folded.
+"""
+
+from __future__ import annotations
+
+import jax
+
+__all__ = ["initialize_multihost", "host_divergent_key", "is_primary_host"]
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None) -> None:
+    """Idempotent jax.distributed.initialize wrapper. On single-process runs
+    (tests, one-chip dev) this is a no-op."""
+    try:
+        if jax.process_count() > 1:
+            return  # already initialized
+    except Exception:
+        pass
+    if coordinator_address is None and num_processes is None:
+        # single-host default: nothing to do; jax.devices() already works
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_divergent_key(key: jax.Array) -> jax.Array:
+    """Per-host divergent sampling stream (the DDP per-rank seed capability)."""
+    return jax.random.fold_in(key, jax.process_index())
+
+
+def is_primary_host() -> bool:
+    """For host-side side effects (checkpoint writes, wandb) — the reference's
+    rank-0-only gating (`/root/reference/ddp.py:814`). Eval itself stays SPMD."""
+    return jax.process_index() == 0

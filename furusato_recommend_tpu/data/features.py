@@ -176,11 +176,10 @@ def load_reference_features(config: Config, base_path: str) -> FeatureStore:
         with open(p, "rb") as f:
             return pickle.load(f)
 
-    user_cat = np_load(cb / f"customer_feature_pad{sfx}.npy").astype(np.int32)
-    item_cat = np_load(cb / f"product_feature_pad{sfx}.npy").astype(np.int32)
+    uf, itf = config.user_feature, config.item_feature
     text_width = 64
 
-    def side_text(prefix, entity, extra_review=False):
+    def side_text(prefix, extra_review=False):
         fields = ["name", "main_comment", "main_list_comment"]
         mats = [pkl_load(tx / f"{prefix}_{f}_count{sfx}.pkl") for f in fields]
         if extra_review:
@@ -188,26 +187,48 @@ def load_reference_features(config: Config, base_path: str) -> FeatureStore:
         padded = [text_from_scipy_csr(m, text_width) for m in mats]
         return np.stack(padded, axis=1), mats[0].shape[1]
 
-    user_text, vocab = side_text("user", "user")
-    item_text, _ = side_text("product", "item", extra_review="r" in config.item_feature)
+    # only load what the configured feature sets require (a missing artifact
+    # for an unused flag must not block training)
+    user_cat = (
+        np_load(cb / f"customer_feature_pad{sfx}.npy").astype(np.int32) if "c" in uf else None
+    )
+    item_cat = (
+        np_load(cb / f"product_feature_pad{sfx}.npy").astype(np.int32) if "c" in itf else None
+    )
+    vocab = 0
+    user_text = item_text = None
+    if "t" in uf:
+        user_text, vocab = side_text("user")
+    if "t" in itf or "r" in itf:
+        item_text, vocab = side_text("product", extra_review="r" in itf)
 
     user = SideFeatures(
-        numeric=jnp.asarray(np_load(cb / f"user_numeric_feature{sfx}.npy"), jnp.float32),
-        categorical=jnp.asarray(user_cat),
-        word2vec=jnp.asarray(np_load(tx / f"user_text_emb{sfx}.npy"), jnp.float32),
-        text=jnp.asarray(user_text),
+        numeric=jnp.asarray(np_load(cb / f"user_numeric_feature{sfx}.npy"), jnp.float32)
+        if "n" in uf
+        else None,
+        categorical=None if user_cat is None else jnp.asarray(user_cat),
+        word2vec=jnp.asarray(np_load(tx / f"user_text_emb{sfx}.npy"), jnp.float32)
+        if "w" in uf
+        else None,
+        text=None if user_text is None else jnp.asarray(user_text),
     )
     item = SideFeatures(
-        numeric=jnp.asarray(np_load(cb / f"product_numeric_feature{sfx}.npy"), jnp.float32),
-        categorical=jnp.asarray(item_cat),
-        word2vec=jnp.asarray(np_load(tx / f"product_text_emb{sfx}.npy"), jnp.float32),
-        sentence=jnp.asarray(np_load(cb / f"product_sentence_emb{sfx}.npy"), jnp.float32),
-        text=jnp.asarray(item_text),
+        numeric=jnp.asarray(np_load(cb / f"product_numeric_feature{sfx}.npy"), jnp.float32)
+        if "n" in itf
+        else None,
+        categorical=None if item_cat is None else jnp.asarray(item_cat),
+        word2vec=jnp.asarray(np_load(tx / f"product_text_emb{sfx}.npy"), jnp.float32)
+        if "w" in itf
+        else None,
+        sentence=jnp.asarray(np_load(cb / f"product_sentence_emb{sfx}.npy"), jnp.float32)
+        if "s" in itf
+        else None,
+        text=None if item_text is None else jnp.asarray(item_text),
     )
     return FeatureStore(
         user=user,
         item=item,
-        user_cat_vocab=int(user_cat.max()) + 1,
-        item_cat_vocab=int(item_cat.max()) + 1,
+        user_cat_vocab=0 if user_cat is None else int(user_cat.max()) + 1,
+        item_cat_vocab=0 if item_cat is None else int(item_cat.max()) + 1,
         text_vocab=vocab,
     )

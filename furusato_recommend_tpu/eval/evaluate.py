@@ -29,7 +29,7 @@ import numpy as np
 from ..config import Config
 from ..data.dataset import Dataset
 from ..data.graph import BipartiteGraph
-from ..eval.metrics import batch_metric_sums, coverage_from_hits, item_hits_update
+from ..eval.metrics import batch_auc_sum, batch_metric_sums, coverage_from_hits, item_hits_update
 from ..models.base import PairwiseModel, Params
 from ..ops.csr_search import csr_gather_padded
 
@@ -105,7 +105,14 @@ class Evaluator:
         return s
 
     def _evaluate(self, graph: BipartiteGraph, params: Params, data: EvalData):
-        user_emb, item_emb = self.model.propagate(params, graph, None)
+        if self.config.inference == "sample" and hasattr(self.model, "propagate_sampled"):
+            # `--inference sample`: sampled-subgraph encoding instead of exact
+            # full-graph means (/root/reference/model/graphsage.py:401-477)
+            user_emb, item_emb = self.model.propagate_sampled(
+                params, graph, jax.random.PRNGKey(self.config.seed)
+            )
+        else:
+            user_emb, item_emb = self.model.propagate(params, graph, None)
         m = graph.m_items
         cold_enabled = self.config.cold_start
 
@@ -124,6 +131,11 @@ class Evaluator:
                 data.item_popularity,
                 n_users_norm=float(graph.n_users),
             )
+            if self.config.compute_auc:
+                batch_sums["auc"] = jnp.broadcast_to(
+                    batch_auc_sum(scores, users, valid, graph.test_pos, float(MASK_SENTINEL)),
+                    (len(self.topks),),
+                )
             sums = jax.tree_util.tree_map(jnp.add, sums, batch_sums)
             if cold_enabled:
                 cold_valid = valid & (users < COLD_START_UID)
@@ -137,6 +149,13 @@ class Evaluator:
                     data.item_popularity,
                     n_users_norm=float(graph.n_users),
                 )
+                if self.config.compute_auc:
+                    cb["auc"] = jnp.broadcast_to(
+                        batch_auc_sum(
+                            scores, users, cold_valid, graph.test_pos, float(MASK_SENTINEL)
+                        ),
+                        (len(self.topks),),
+                    )
                 cold_sums = jax.tree_util.tree_map(jnp.add, cold_sums, cb)
             hits = item_hits_update(hits, topk, valid, self.kmax)
             return (sums, cold_sums, hits), topk
@@ -154,6 +173,8 @@ class Evaluator:
             zero_sums["diversity"] = jnp.zeros(nk)
         if data.item_popularity is not None:
             zero_sums["novelty"] = jnp.zeros(nk)
+        if self.config.compute_auc:
+            zero_sums["auc"] = jnp.zeros(nk)
         hits0 = jnp.zeros((m,), dtype=jnp.int32)
         (sums, cold_sums, hits), topks = jax.lax.scan(
             step, (zero_sums, zero_sums, hits0), (data.users, data.valid)

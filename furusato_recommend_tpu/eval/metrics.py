@@ -128,6 +128,35 @@ def _diversity_sum(topk: jnp.ndarray, cats: jnp.ndarray, w: jnp.ndarray) -> jnp.
     return jnp.sum(pair_sum / denom * w)
 
 
+def batch_auc_sum(
+    scores: jnp.ndarray,  # [B, M] full-catalog scores, train positives masked to sentinel
+    users: jnp.ndarray,
+    valid: jnp.ndarray,
+    test_pos: CSR,
+    mask_sentinel: float,
+) -> jnp.ndarray:
+    """Sum of per-user AUC over valid users (reference `AUC`,
+    /root/reference/metric.py:149-158: roc_auc over non-masked items with test
+    items as positives). Rank-sum formulation, fully vectorized:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), where R_pos is the sum
+    of 1-based ranks of positives by ascending score among unmasked items."""
+    B, M = scores.shape
+    is_pos = csr_contains(test_pos, users[:, None], jnp.arange(M)[None, :])
+    unmasked = scores > mask_sentinel + 1.0
+    order = jnp.argsort(scores, axis=1)  # ascending
+    pos_sorted = jnp.take_along_axis(is_pos & unmasked, order, axis=1)
+    un_sorted = jnp.take_along_axis(unmasked, order, axis=1)
+    # rank among unmasked items = cumulative count of unmasked up to position
+    ranks = jnp.cumsum(un_sorted.astype(jnp.float32), axis=1)
+    r_pos = jnp.sum(jnp.where(pos_sorted, ranks, 0.0), axis=1)
+    n_pos = jnp.sum(pos_sorted, axis=1).astype(jnp.float32)
+    n_all = jnp.sum(un_sorted, axis=1).astype(jnp.float32)
+    n_neg = n_all - n_pos
+    auc = (r_pos - n_pos * (n_pos + 1) / 2) / jnp.maximum(n_pos * n_neg, 1.0)
+    ok = valid & (n_pos > 0) & (n_neg > 0)
+    return jnp.sum(jnp.where(ok, auc, 0.0))
+
+
 def item_hits_update(hits: jnp.ndarray, topk_ids: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarray:
     """Accumulate which items appeared in any valid user's top-k (for Coverage)."""
     ids = topk_ids[:, :k]

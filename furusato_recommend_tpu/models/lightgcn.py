@@ -43,14 +43,22 @@ class LightGCN(PairwiseModel):
         graph: BipartiteGraph,
         norm: str = "sym",
         loss_mode: str = "bpr",
+        pretrained=None,
     ):
         super().__init__(config, graph)
         self.dim = config.latent_dim
         self.n_layers = config.n_layers
         self.norm = norm
         self.loss_mode = loss_mode
+        self.pretrained = pretrained  # --pretrain (/root/reference/model/MF.py:136-151)
 
     def init(self, key: jax.Array) -> Params:
+        if self.pretrained is not None:
+            u, i = self.pretrained
+            return {
+                "user_emb": jnp.asarray(u, jnp.float32),
+                "item_emb": jnp.asarray(i, jnp.float32),
+            }
         ku, ki = jax.random.split(key)
         # normal(std=0.1) matching the reference's trained-from-scratch branch
         # (`/root/reference/model/MF.py:131-135`)

@@ -25,11 +25,20 @@ class MF(PairwiseModel):
     name = "mf"
     score_sigmoid = True
 
-    def __init__(self, config: Config, graph: BipartiteGraph):
+    def __init__(self, config: Config, graph: BipartiteGraph, pretrained=None):
         super().__init__(config, graph)
         self.dim = config.latent_dim
+        #: optional (user_emb, item_emb) numpy arrays — the `--pretrain` path
+        #: (/root/reference/model/MF.py:136-151 copies npy embeddings in)
+        self.pretrained = pretrained
 
     def init(self, key: jax.Array) -> Params:
+        if self.pretrained is not None:
+            u, i = self.pretrained
+            return {
+                "user_emb": jnp.asarray(u, jnp.float32),
+                "item_emb": jnp.asarray(i, jnp.float32),
+            }
         ku, ki = jax.random.split(key)
         # N(0,1) init, matching torch.nn.Embedding's default used by the
         # reference ("using Normal distribution N(0,1) initialization for PureMF")

@@ -283,6 +283,28 @@ class SAGE(PairwiseModel):
             item_x = sum(item_layers) / len(item_layers)
         return self._head(params, user_x, "user"), self._head(params, item_x, "item")
 
+    def propagate_sampled(self, params: Params, graph: BipartiteGraph, key: jax.Array):
+        """`--inference sample` path: encode every item then every user through
+        the sampled-subgraph forward instead of exact full-graph means
+        (`/root/reference/model/graphsage.py:401-477`). Chunked with lax.map to
+        bound the tree-activation memory."""
+        chunk = 512
+
+        def encode_all(n, side, key):
+            n_pad = -(-n // chunk) * chunk
+            ids = jnp.arange(n_pad, dtype=jnp.int32) % n
+            keys = jax.random.split(key, n_pad // chunk)
+            out = jax.lax.map(
+                lambda inp: self.encode_seeds(params, graph, inp[0], side, inp[1], train=False),
+                (ids.reshape(-1, chunk), keys),
+            )
+            return out.reshape(n_pad, -1)[:n]
+
+        k1, k2 = jax.random.split(key)
+        item_emb = encode_all(self.m_items, "item", k1)
+        user_emb = encode_all(self.n_users, "user", k2)
+        return user_emb, item_emb
+
     # ---- sampled-tree encoder (training path) ----
     def encode_seeds(
         self,

@@ -1,0 +1,166 @@
+"""Auxiliary CLIs — the reference's `test.py` / `eval.py` / `train_lgbm.py` /
+`eval_lgbm.py` entry points as subcommands:
+
+  python -m furusato_recommend_tpu.tools dump-candidates --ckpt ... --k 50
+  python -m furusato_recommend_tpu.tools evaluate --ckpt ...
+  python -m furusato_recommend_tpu.tools train-ranker --candidates a.npy b.npy
+  python -m furusato_recommend_tpu.tools rerank-eval --candidates a.npy b.npy --ranker r.ckpt
+
+Reference flows: `test.py:23-41` (checkpoint -> top-50 dump), `eval.py`
+(checkpoint -> metrics), `train_lgbm.py:66-191` (candidates -> LambdaRank fit),
+`eval_lgbm.py:47-117` (candidate union -> predict -> top-10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_run(args):
+    import jax
+
+    from .cli import build_argparser, config_from_args
+    from .core.checkpoint import load_checkpoint
+    from .data import load_text_dataset
+    from .models.registry import build_model
+
+    state = load_checkpoint(args.ckpt)
+    cfg_json = state.get("__config__")
+    from .config import Config
+
+    config = Config.from_json(json.dumps(cfg_json)) if cfg_json else config_from_args(
+        build_argparser().parse_args([])
+    )
+    if args.data_path:
+        config = config.replace(data_path=args.data_path)
+    dataset = load_text_dataset(config)
+    model_kw = {}
+    if config.model not in ("mf", "lgn", "rgcn", "radj", "lgcnssm"):
+        from .data.features import load_reference_features
+
+        model_kw["features"] = load_reference_features(config, config.data_path)
+        if config.model == "sasrec":
+            from .data.sequence import build_sequences
+
+            model_kw["sequences"] = build_sequences(dataset)
+    model = build_model(config.model, config, dataset.graph, **model_kw)
+    params = jax.tree_util.tree_map(jax.numpy.asarray, state["params"])
+    return config, dataset, model, params
+
+
+def cmd_dump_candidates(args):
+    from .rank.pipeline import dump_candidates
+
+    config, dataset, model, params = _load_run(args)
+    cands = dump_candidates(model, params, dataset.graph, k=args.k)
+    out = args.out or f"candidates_{config.model}.npy"
+    np.save(out, cands)
+    print(f"wrote {out} shape={cands.shape}")
+
+
+def cmd_evaluate(args):
+    from .eval.evaluate import Evaluator, build_eval_data
+
+    config, dataset, model, params = _load_run(args)
+    max_deg = int(np.max(np.bincount(dataset.train_user, minlength=dataset.n_users)))
+    ev = Evaluator(model, dataset.graph, config, max_train_degree=max_deg)
+    data = build_eval_data(dataset, config.eval_user_batch)
+    results, topk = ev(params, data)
+    print(json.dumps({k: round(v, 6) for k, v in results.items()}, indent=2))
+    if args.save_result:
+        from .eval.results import save_result
+
+        save_result(args.save_result, dataset, topk, k=config.topks[0])
+        print(f"wrote {args.save_result}")
+
+
+def cmd_train_ranker(args):
+    import jax
+
+    from .core.checkpoint import save_checkpoint
+    from .config import Config
+    from .data import load_text_dataset
+    from .data.features import load_reference_features
+    from .rank.pipeline import build_rank_groups
+    from .rank.ranker import NeuralRanker
+
+    config = Config(data_path=args.data_path, for_lgbm=True, lgbm_ratio=args.lgbm_ratio)
+    dataset = load_text_dataset(config)
+    features = load_reference_features(config, config.data_path)
+    # held-out = the lgbm slice: full rows minus the for_lgbm-train rows
+    full = load_text_dataset(config.replace(for_lgbm=False))
+    held = {}
+    ap_train = dataset.all_pos()
+    ap_full = full.all_pos()
+    for u in range(dataset.n_users):
+        held_items = np.setdiff1d(ap_full[u], ap_train[u])
+        if len(held_items):
+            held[u] = held_items
+    cands = [np.load(p) for p in args.candidates]
+    groups = build_rank_groups(dataset, cands, holdout=held)
+    ranker = NeuralRanker(features)
+    params = ranker.fit(groups, epochs=args.epochs, verbose=True)
+    save_checkpoint(args.out, {"params": params}, config)
+    print(f"wrote {args.out}")
+
+
+def cmd_rerank_eval(args):
+    from .core.checkpoint import load_checkpoint
+    from .config import Config
+    from .data import load_text_dataset
+    from .data.features import load_reference_features
+    from .rank.pipeline import rerank_eval
+    from .rank.ranker import NeuralRanker
+
+    config = Config(data_path=args.data_path)
+    dataset = load_text_dataset(config)
+    features = load_reference_features(config, config.data_path)
+    ranker = NeuralRanker(features)
+    params = load_checkpoint(args.ranker)["params"]
+    cands = [np.load(p) for p in args.candidates]
+    results = rerank_eval(ranker, params, dataset, cands, dataset.test_dict(), k=args.k)
+    print(json.dumps(results, indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="furusato_recommend_tpu.tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dump-candidates", help="test.py equivalent: checkpoint -> top-k dump")
+    d.add_argument("--ckpt", required=True)
+    d.add_argument("--k", type=int, default=50)
+    d.add_argument("--out", default=None)
+    d.add_argument("--data_path", default=None)
+    d.set_defaults(fn=cmd_dump_candidates)
+
+    e = sub.add_parser("evaluate", help="eval.py equivalent: checkpoint -> metrics")
+    e.add_argument("--ckpt", required=True)
+    e.add_argument("--data_path", default=None)
+    e.add_argument("--save_result", default=None, help="also write per-user CSV")
+    e.set_defaults(fn=cmd_evaluate)
+
+    t = sub.add_parser("train-ranker", help="train_lgbm.py equivalent")
+    t.add_argument("--candidates", nargs="+", required=True)
+    t.add_argument("--data_path", default="./data")
+    t.add_argument("--lgbm_ratio", type=float, default=0.1)
+    t.add_argument("--epochs", type=int, default=30)
+    t.add_argument("--out", default="./ranker.ckpt")
+    t.set_defaults(fn=cmd_train_ranker)
+
+    r = sub.add_parser("rerank-eval", help="eval_lgbm.py equivalent")
+    r.add_argument("--candidates", nargs="+", required=True)
+    r.add_argument("--ranker", required=True)
+    r.add_argument("--data_path", default="./data")
+    r.add_argument("--k", type=int, default=10)
+    r.set_defaults(fn=cmd_rerank_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,3 +105,60 @@ def test_checkpoint_roundtrip(tmp_path, tiny_dataset):
 def test_registry_covers_lightgcn_family():
     for name in ["mf", "lgn", "rgcn", "radj", "lgcnssm"]:
         assert name in available_models()
+
+
+def test_auc_metric(tiny_dataset):
+    """AUC computed in-scan matches a from-scratch numpy ROC-AUC."""
+    from sklearn.metrics import roc_auc_score
+
+    r0, r1, params, tr = _train("mf", tiny_dataset, epochs=6, compute_auc=True)
+    assert "auc@5" in r1
+    # numpy cross-check
+    U = np.asarray(params["user_emb"]); I = np.asarray(params["item_emb"])
+    import scipy.special
+    ap, td = tiny_dataset.all_pos(), tiny_dataset.test_dict()
+    users = sorted(td.keys())
+    aucs = []
+    for u in users:
+        s = scipy.special.expit(U[u] @ I.T)  # MF scores are sigmoid-ed
+        keep = np.ones(len(s), bool); keep[ap[u]] = False
+        y = np.zeros(len(s)); y[td[u]] = 1
+        if y[keep].sum() and (1 - y[keep]).sum():
+            aucs.append(roc_auc_score(y[keep], s[keep]))
+    np.testing.assert_allclose(r1["auc@5"], np.mean(aucs), atol=2e-3)
+
+
+def test_pretrain_init(tiny_dataset):
+    from furusato_recommend_tpu.models.mf import MF as MFModel
+
+    rng = np.random.default_rng(0)
+    u = rng.random((tiny_dataset.n_users, 8)).astype(np.float32)
+    i = rng.random((tiny_dataset.m_items, 8)).astype(np.float32)
+    cfg = Config(model="mf", latent_dim=8)
+    m = MFModel(cfg, tiny_dataset.graph, pretrained=(u, i))
+    params = m.init(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(params["user_emb"]), u)
+
+
+def test_save_result_csv(tmp_path, tiny_dataset):
+    from furusato_recommend_tpu.eval.results import save_result
+
+    _, _, params, tr = _train("mf", tiny_dataset, epochs=3)
+    _, topk = tr.evaluator(params, tr.eval_data)
+    names = np.asarray([f"gift_{i}" for i in range(tiny_dataset.m_items)])
+    df = save_result(tmp_path / "result.csv", tiny_dataset, topk, product_names=names, k=5)
+    td = tiny_dataset.test_dict()
+    assert len(df) == len(td)
+    assert "gift_" in df.iloc[0]["predict_names"]
+    assert (tmp_path / "result.csv").exists()
+
+
+def test_prefetch_pipeline():
+    from furusato_recommend_tpu.train.prefetch import BackgroundProducer, prefetch_to_device
+
+    got = list(prefetch_to_device(iter([np.ones(3) * i for i in range(5)]), size=2))
+    assert len(got) == 5
+    np.testing.assert_allclose(np.asarray(got[3]), 3.0)
+    prod = BackgroundProducer(lambda i: np.full(2, i), num_batches=3)
+    vals = [float(np.asarray(prod.get())[0]) for _ in range(3)]
+    assert vals == [0.0, 1.0, 2.0]

@@ -217,3 +217,19 @@ def test_full_registry_covers_reference_model_zoo():
         "tgrec2", "tgsrec", "sasgnn", "sasrec", "asage", "mrec", "nssage",
     }
     assert reference_keys.issubset(set(available_models()))
+
+
+def test_inference_sample_mode(sage_ds):
+    """--inference sample: evaluator uses the sampled-subgraph encoder."""
+    from furusato_recommend_tpu.eval.evaluate import Evaluator, build_eval_data
+
+    cfg = _cfg(inference="sample")
+    fs = synthetic_features(sage_ds, cfg, seed=1)
+    m = build_model("textsage", cfg, sage_ds.graph, features=fs)
+    params = m.init(jax.random.PRNGKey(0))
+    U, I = m.propagate_sampled(params, sage_ds.graph, jax.random.PRNGKey(1))
+    assert U.shape == (100, 16) and np.isfinite(np.asarray(U)).all()
+    ev = Evaluator(m, sage_ds.graph, cfg, max_train_degree=32)
+    data = build_eval_data(sage_ds, 64)
+    results, _ = ev(params, data)
+    assert 0.0 <= results["recall@10"] <= 1.0
