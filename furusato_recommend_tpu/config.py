@@ -120,6 +120,7 @@ class Config:
     eval_user_batch: int = 1024  # device-side eval tile (users per scoring block)
     donate_params: bool = True
     compute_auc: bool = False  # per-user AUC during eval (reference metric.py:149-158)
+    use_pallas_topk: bool = False  # streaming scoring+topk kernel (ops/pallas_topk.py)
 
     def __post_init__(self):
         for f in self.user_feature:

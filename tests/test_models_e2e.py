@@ -162,3 +162,23 @@ def test_prefetch_pipeline():
     prod = BackgroundProducer(lambda i: np.full(2, i), num_batches=3)
     vals = [float(np.asarray(prod.get())[0]) for _ in range(3)]
     assert vals == [0.0, 1.0, 2.0]
+
+
+def test_ddp_recipe_trainer(tiny_dataset):
+    """Trainer(ddp_recipe=True): weighted+capped sampler recipe
+    (TRAIN_ITERATIVE x samples, positive cap, popularity negatives)."""
+    cfg = Config(
+        model="mf", latent_dim=16, bpr_batch_size=256, lr=0.05,
+        eval_user_batch=64, topks=(5, 10),
+        train_iterative=2, positive_num_limit=500, negative_pow=0.2,
+    )
+    model = build_model("mf", cfg, tiny_dataset.graph)
+    tr = Trainer(cfg, tiny_dataset, model, ddp_recipe=True)
+    assert tr.samples_per_epoch >= 2 * tiny_dataset.train_size
+    assert tr.edge_alias is not None and tr.neg_alias is not None
+    params, opt_state = tr.init_state()
+    r0 = tr.test(params)
+    for _ in range(10):
+        params, opt_state, loss = tr.train_one_epoch(params, opt_state)
+    r1 = tr.test(params)
+    assert r1["recall@10"] > r0["recall@10"]
