@@ -77,6 +77,7 @@ class SAGE(PairwiseModel):
         towers: bool = False,
         full_graph_train: bool = False,
         layer_mean_output: Optional[bool] = None,
+        precompute_initial: Optional[bool] = None,
     ):
         super().__init__(config, graph)
         self.features = features
@@ -90,11 +91,51 @@ class SAGE(PairwiseModel):
         self.full_graph_train = full_graph_train
         # lightsage averages layer outputs (/root/reference/model/lightsage.py:274-290)
         self.layer_mean = (conv == "light") if layer_mean_output is None else layer_mean_output
+        self.precompute_initial = precompute_initial
         self.node_dim = self.dim * (2 if use_id_embedding else 1)
         self.word_dim = self.dim // 2
 
         self.user_flags = config.user_feature
         self.item_flags = config.item_feature
+
+        # Scatter-free text bags: the per-entity distinct-word membership is
+        # static, so each side's bags are an SpMM over a padded (entity-field x
+        # vocab) adjacency with 1/|words| weights — transpose-VJP makes the
+        # word-table gradient a padded gather instead of a 10^6-row scatter-add
+        # (measured: TextSAGE backward was 3.4x forward before this).
+        self._text_adj = {}
+        for side, feats, flags in (
+            ("user", features.user, self.user_flags),
+            ("item", features.item, self.item_flags),
+        ):
+            if feats.text is not None and ("t" in flags or ("r" in flags and side == "item")):
+                self._text_adj[side] = self._build_text_adj(feats.text, features.text_vocab)
+
+    @staticmethod
+    def _build_text_adj(text, vocab: int):
+        """[N, T, W] padded word ids -> PaddedAdjPair over (N*T) bag rows."""
+        import numpy as np
+
+        from ..ops.padded_adj import build_padded_pair
+
+        t = np.asarray(text)
+        n, fields, w = t.shape
+        rows = np.repeat(np.arange(n * fields), w)
+        words = t.reshape(-1)
+        valid = words >= 0
+        rows, words = rows[valid], words[valid]
+        counts = np.bincount(rows, minlength=n * fields).astype(np.float64)
+        weights = (1.0 / np.maximum(counts[rows], 1.0)).astype(np.float32)
+        return build_padded_pair(words, rows, weights, n * fields, vocab)
+
+    def _all_text_bags(self, params, side: str):
+        """[N, T, word_dim] mean word embeddings for every entity (scatter-free)."""
+        from ..ops.padded_adj import padded_spmm
+
+        feats = self.features.user if side == "user" else self.features.item
+        n, fields, _ = feats.text.shape
+        flat = padded_spmm(self._text_adj[side], params["word_emb"])  # [N*T, dw]
+        return flat.reshape(n, fields, self.word_dim)
 
     # ---- parameter init ----
     def _proj_in_dim(self, flags: str, side: str) -> int:
@@ -227,6 +268,47 @@ class SAGE(PairwiseModel):
             x = jnp.concatenate([params[f"{side}_id_emb"][ids], x], axis=-1)
         return x
 
+    def _initial_all(self, params, side: str) -> jnp.ndarray:
+        """Initial embeddings for EVERY entity of one side, with text bags as
+        scatter-free padded SpMM. One pass over N entities replaces repeated
+        per-tree-node feature assembly (tree levels then gather [*, node_dim]
+        rows instead of re-gathering 300-dim raw features per occurrence)."""
+        feats = self.features.user if side == "user" else self.features.item
+        flags = self.user_flags if side == "user" else self.item_flags
+        n = self.n_users if side == "user" else self.m_items
+        ids = jnp.arange(n)
+        parts: List[jnp.ndarray] = []
+        if "n" in flags:
+            parts.append(feats.numeric @ params[f"{side}_numeric_w"] + params[f"{side}_numeric_b"])
+        if "t" in flags or (side == "item" and "r" in flags):
+            bags = self._all_text_bags(params, side)  # [N, T, dw]
+            n_fields = 3 if "t" in flags else 0
+            for f in range(n_fields):
+                parts.append(bags[:, f])
+            if side == "item" and "r" in flags:
+                parts.append(bags[:, 3])
+        if "w" in flags:
+            parts.append(feats.word2vec)
+        if "c" in flags:
+            ce = params[f"{side}_cat_emb"][feats.categorical]
+            mean_emb = jnp.mean(ce, axis=-2)
+            if self.config.factorization:
+                sq_sum = jnp.sum(ce, axis=-2) ** 2
+                sum_sq = jnp.sum(ce**2, axis=-2)
+                mean_emb = jnp.concatenate([mean_emb, 0.5 * (sq_sum - sum_sq)], axis=-1)
+            parts.append(mean_emb)
+        if side == "item" and "s" in flags:
+            parts.append(feats.sentence)
+        if "b" in flags and feats.bert is not None:
+            parts.append(feats.bert)
+        x = jnp.concatenate(parts, axis=-1)
+        x = x @ params[f"{side}_proj_w"] + params[f"{side}_proj_b"]
+        if side == "user" and self.config.cold_start:
+            x = jnp.where((ids < COLD_START_UID)[..., None], 0.0, x)
+        if self.use_id:
+            x = jnp.concatenate([params[f"{side}_id_emb"], x], axis=-1)
+        return x
+
     def _head(self, params, x: jnp.ndarray, side: str) -> jnp.ndarray:
         if self.conv_name == "pinsage":
             # G2 @ relu(G1 @ x) (/root/reference/model/pinsage.py:357-365)
@@ -239,8 +321,8 @@ class SAGE(PairwiseModel):
 
     # ---- full-graph propagation (inference path) ----
     def propagate(self, params: Params, graph: BipartiteGraph, key=None):
-        user_x = self._initial_side_emb(params, jnp.arange(self.n_users), "user")
-        item_x = self._initial_side_emb(params, jnp.arange(self.m_items), "item")
+        user_x = self._initial_all(params, "user")
+        item_x = self._initial_all(params, "item")
         use_padded = graph.user_agg is not None
         if not use_padded:
             u_rows = csr_row_ids(graph.user_pos)
@@ -314,8 +396,13 @@ class SAGE(PairwiseModel):
         seed_side: str,
         key: jax.Array,
         train: bool,
+        tables=None,
     ) -> jnp.ndarray:
-        """Fanout-tree SAGE forward for single-side seed nodes (local ids)."""
+        """Fanout-tree SAGE forward for single-side seed nodes (local ids).
+
+        tables: optional (user_x, item_x) precomputed initial embeddings —
+        levels then gather node_dim rows instead of assembling raw features per
+        tree occurrence (see _initial_all)."""
         L, F = self.n_layers, self.fanout
         sides = [seed_side]
         for _ in range(L):
@@ -332,7 +419,14 @@ class SAGE(PairwiseModel):
             level_valid.append(s.has_neighbors)
             edge_pos.append(s.edge_pos)
         # initial features per level
-        xs = [self._initial_side_emb(params, lvl, sides[i]) for i, lvl in enumerate(levels)]
+        if tables is not None:
+            user_x, item_x = tables
+            xs = [
+                (user_x if sides[i] == "user" else item_x)[lvl]
+                for i, lvl in enumerate(levels)
+            ]
+        else:
+            xs = [self._initial_side_emb(params, lvl, sides[i]) for i, lvl in enumerate(levels)]
         rel_chain = self._rel_chain(params)
         layer_outputs = [xs[0]]
         # bottom-up combine
@@ -381,9 +475,25 @@ class SAGE(PairwiseModel):
             n = item_emb[batch.neg]
         else:
             k1, k2, k3 = jax.random.split(key, 3)
-            u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True)
-            p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True)
-            n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True)
+            # precompute all-entity initial embeddings when the three trees
+            # touch a comparable number of node occurrences (always true at
+            # reference batch sizes; opt out via precompute_initial=False)
+            tree_nodes = 3 * batch.user.shape[0] * sum(
+                self.fanout**l for l in range(self.n_layers + 1)
+            )
+            pre = (
+                self.precompute_initial
+                if self.precompute_initial is not None
+                else tree_nodes >= (self.n_users + self.m_items) // 4
+            )
+            tables = (
+                (self._initial_all(params, "user"), self._initial_all(params, "item"))
+                if pre
+                else None
+            )
+            u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True, tables=tables)
+            p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True, tables=tables)
+            n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True, tables=tables)
         pos_s = jnp.sum(u * p, axis=-1)
         neg_s = jnp.sum(u * n, axis=-1)
         bpr = bpr_loss_from_scores(pos_s, neg_s, batch.valid)

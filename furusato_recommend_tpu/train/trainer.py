@@ -189,3 +189,17 @@ class Trainer:
             "max_recall": jnp.asarray(self.max_recall),
         }
         save_checkpoint(path or checkpoint_path(self.config), state, self.config)
+
+    def restore(self, path=None):
+        """Resume full training state — params, optimizer moments, PRNG stream,
+        step counter, best-metric — fixing the reference's lossy resume
+        (torch.save(state_dict) only, SURVEY.md §5.4)."""
+        from ..core.checkpoint import load_checkpoint
+
+        state = load_checkpoint(path or checkpoint_path(self.config))
+        params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        opt_state = jax.tree_util.tree_map(jnp.asarray, state["opt_state"])
+        self.step = int(state["step"])
+        self._key = jnp.asarray(state["key"])
+        self.max_recall = float(state["max_recall"])
+        return params, opt_state

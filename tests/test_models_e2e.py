@@ -182,3 +182,31 @@ def test_ddp_recipe_trainer(tiny_dataset):
         params, opt_state, loss = tr.train_one_epoch(params, opt_state)
     r1 = tr.test(params)
     assert r1["recall@10"] > r0["recall@10"]
+
+
+def test_trainer_resume(tmp_path, tiny_dataset):
+    """Deterministic resume: save mid-training, restore, continue — equals an
+    uninterrupted run (full state incl. Adam moments + PRNG)."""
+    def make():
+        cfg = Config(model="mf", latent_dim=16, bpr_batch_size=256, lr=0.05,
+                     eval_user_batch=64, topks=(5, 10))
+        model = build_model("mf", cfg, tiny_dataset.graph)
+        return Trainer(cfg, tiny_dataset, model)
+
+    tr1 = make()
+    p, o = tr1.init_state()
+    for _ in range(3):
+        p, o, _ = tr1.train_one_epoch(p, o)
+    ckpt = tmp_path / "mid.ckpt"
+    tr1.save(p, o, path=ckpt)
+    for _ in range(3):
+        p, o, _ = tr1.train_one_epoch(p, o)
+    uninterrupted = np.asarray(p["user_emb"])
+
+    tr2 = make()
+    tr2.init_state()  # establishes _key attr; overwritten by restore
+    p2, o2 = tr2.restore(ckpt)
+    assert tr2.step == 3
+    for _ in range(3):
+        p2, o2, _ = tr2.train_one_epoch(p2, o2)
+    np.testing.assert_allclose(np.asarray(p2["user_emb"]), uninterrupted, rtol=1e-5, atol=1e-6)

@@ -233,3 +233,16 @@ def test_inference_sample_mode(sage_ds):
     data = build_eval_data(sage_ds, 64)
     results, _ = ev(params, data)
     assert 0.0 <= results["recall@10"] <= 1.0
+
+
+def test_initial_all_matches_per_ids(sage_ds):
+    """_initial_all (padded-SpMM text bags) must equal _initial_side_emb on
+    every entity (both paths must stay in sync)."""
+    cfg = _cfg(user_feature="nctw", item_feature="nctwsr", factorization=True)
+    fs = synthetic_features(sage_ds, cfg, seed=1)
+    m = build_model("textsage", cfg, sage_ds.graph, features=fs)
+    params = m.init(jax.random.PRNGKey(0))
+    for side, n in (("user", 100), ("item", 140)):
+        a = np.asarray(m._initial_all(params, side))
+        b = np.asarray(m._initial_side_emb(params, jnp.arange(n), side))
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-3)  # bf16 spmm path
