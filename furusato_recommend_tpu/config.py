@@ -121,6 +121,8 @@ class Config:
     donate_params: bool = True
     compute_auc: bool = False  # per-user AUC during eval (reference metric.py:149-158)
     use_pallas_topk: bool = False  # streaming scoring+topk kernel (ops/pallas_topk.py)
+    loss_fn: str = "bpr"  # "bpr" (reference) | "infonce" (in-batch sampled softmax)
+    infonce_temperature: float = 0.1
 
     def __post_init__(self):
         for f in self.user_feature:
@@ -141,6 +143,8 @@ class Config:
             raise ValueError(f"bad conv {self.conv!r}")
         if not self.topks:
             raise ValueError("topks must be non-empty")
+        if self.loss_fn not in ("bpr", "infonce"):
+            raise ValueError(f"loss_fn must be 'bpr' or 'infonce', got {self.loss_fn!r}")
 
     # -- convenience --
     @property

@@ -41,6 +41,19 @@ def bpr_loss_from_scores(pos_scores, neg_scores, valid) -> jnp.ndarray:
     return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def infonce_in_batch(u_emb, p_emb, valid, temperature: float) -> jnp.ndarray:
+    """In-batch sampled-softmax: every other row's positive serves as a
+    negative — -log softmax(u_i . p_i / tau | {u_i . p_j}_j). TPU-native
+    alternative objective (north-star: in-batch + sampled-softmax negatives);
+    the [B, B] logits ride the MXU, no explicit negative sampling needed."""
+    logits = (u_emb @ p_emb.T) / temperature  # [B, B]
+    mask = valid.astype(logits.dtype)
+    logits = logits + jnp.log(jnp.maximum(mask, 1e-30))[None, :]  # drop invalid cols
+    per = -jax.nn.log_softmax(logits, axis=1)
+    diag = jnp.diagonal(per)
+    return jnp.sum(diag * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 def l2_ego(u_emb, p_emb, n_emb, valid) -> jnp.ndarray:
     """(1/2)(|u|^2+|p|^2+|n|^2)/B — ego-embedding regularization of the MF /
     LightGCN family (`/root/reference/model/MF.py:71-78`)."""
@@ -84,6 +97,14 @@ class PairwiseModel:
         raise NotImplementedError
 
     # -- defaults --
+    def main_loss(self, u, p, n, valid) -> jnp.ndarray:
+        """BPR (reference objective) or in-batch InfoNCE per config.loss_fn."""
+        if self.config.loss_fn == "infonce":
+            return infonce_in_batch(u, p, valid, self.config.infonce_temperature)
+        pos_s = jnp.sum(u * p, axis=-1)
+        neg_s = jnp.sum(u * n, axis=-1)
+        return bpr_loss_from_scores(pos_s, neg_s, valid)
+
     def loss(
         self, params: Params, graph: BipartiteGraph, batch: BPRBatch, key: jax.Array
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
@@ -91,9 +112,7 @@ class PairwiseModel:
         u = user_emb[batch.user]
         p = item_emb[batch.pos]
         n = item_emb[batch.neg]
-        pos_s = jnp.sum(u * p, axis=-1)
-        neg_s = jnp.sum(u * n, axis=-1)
-        bpr = bpr_loss_from_scores(pos_s, neg_s, batch.valid)
+        bpr = self.main_loss(u, p, n, batch.valid)
         reg = self.reg_loss(params, u, p, n, batch.valid)
         total = bpr + self.config.decay * reg
         return total, {"bpr": bpr, "reg": reg}

@@ -141,8 +141,6 @@ class LightGCN(PairwiseModel):
             w = batch.valid.astype(per.dtype)
             main = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
         else:
-            pos_s = jnp.sum(u * p, axis=-1)
-            neg_s = jnp.sum(u * n, axis=-1)
-            main = bpr_loss_from_scores(pos_s, neg_s, batch.valid)
+            main = self.main_loss(u, p, n, batch.valid)
         total = main + self.config.decay * reg
         return total, {"bpr": main, "reg": reg}

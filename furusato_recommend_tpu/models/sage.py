@@ -494,9 +494,7 @@ class SAGE(PairwiseModel):
             u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True, tables=tables)
             p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True, tables=tables)
             n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True, tables=tables)
-        pos_s = jnp.sum(u * p, axis=-1)
-        neg_s = jnp.sum(u * n, axis=-1)
-        bpr = bpr_loss_from_scores(pos_s, neg_s, batch.valid)
+        bpr = self.main_loss(u, p, n, batch.valid)
         # whole-parameter-norm regularization (SAGE family,
         # /root/reference/model/graphsage.py:326-337; the reference's accumulator
         # has a doubling bug — we use the standard 0.5*sum||p||^2)

@@ -163,9 +163,7 @@ class SASRec(SAGE):
         u = self.forward_user(params, item_initial, batch.user, key=k1, train=True)
         p = self.forward_item(params, item_initial[batch.pos])
         n = self.forward_item(params, item_initial[batch.neg])
-        pos_s = jnp.sum(u * p, axis=-1)
-        neg_s = jnp.sum(u * n, axis=-1)
-        bpr = bpr_loss_from_scores(pos_s, neg_s, batch.valid)
+        bpr = self.main_loss(u, p, n, batch.valid)
         # embedding-params-only L2 (/root/reference/model/sasrec.py:428-432)
         reg = 0.0
         for k_name, v in params.items():

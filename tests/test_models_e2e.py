@@ -210,3 +210,9 @@ def test_trainer_resume(tmp_path, tiny_dataset):
     for _ in range(3):
         p2, o2, _ = tr2.train_one_epoch(p2, o2)
     np.testing.assert_allclose(np.asarray(p2["user_emb"]), uninterrupted, rtol=1e-5, atol=1e-6)
+
+
+def test_infonce_loss_mode(tiny_dataset):
+    """In-batch sampled-softmax objective trains and improves recall."""
+    r0, r1, _, _ = _train("mf", tiny_dataset, epochs=20, loss_fn="infonce")
+    assert r1["recall@10"] > r0["recall@10"] + 0.05
