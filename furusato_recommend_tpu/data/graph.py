@@ -147,6 +147,7 @@ def build_bipartite_graph(
     n_users: int,
     m_items: int,
     padded: bool = True,
+    hub_count: int = 1024,
 ) -> BipartiteGraph:
     """Construct the device graph from COO interaction arrays.
 
@@ -187,14 +188,20 @@ def build_bipartite_graph(
     if padded:
         from ..ops.padded_adj import PaddedAdjPair, build_padded_adj, build_padded_pair
 
-        sym = build_padded_adj(src, dst, weight, n_users + m_items)
+        # hub_count: Zipf hub sources go through a dense bf16 MXU block instead
+        # of random gathers (ops/padded_adj.py; measured 1.66x on fwd+bwd)
+        sym = build_padded_adj(src, dst, weight, n_users + m_items, hub_count=hub_count)
         norm_padded = PaddedAdjPair(fwd=sym, bwd=sym)  # symmetric: A^T = A
         deg_u = np.maximum(np.bincount(train_user, minlength=n_users), 1)
         deg_i = np.maximum(np.bincount(train_item, minlength=m_items), 1)
         w_mean_u = (1.0 / deg_u[train_user]).astype(np.float32)
-        user_agg = build_padded_pair(train_item, train_user, w_mean_u, n_users, m_items)
+        user_agg = build_padded_pair(
+            train_item, train_user, w_mean_u, n_users, m_items, hub_count=hub_count
+        )
         w_mean_i = (1.0 / deg_i[train_item]).astype(np.float32)
-        item_agg = build_padded_pair(train_user, train_item, w_mean_i, m_items, n_users)
+        item_agg = build_padded_pair(
+            train_user, train_item, w_mean_i, m_items, n_users, hub_count=hub_count
+        )
 
     dev = jnp.asarray
     return BipartiteGraph(

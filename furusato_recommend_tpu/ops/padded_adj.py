@@ -35,7 +35,11 @@ __all__ = ["PaddedAdj", "PaddedAdjPair", "build_padded_adj", "build_padded_pair"
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PaddedAdj:
-    """Degree-bucketed padded adjacency over one destination set."""
+    """Degree-bucketed padded adjacency over one destination set, with an
+    optional hub-dense split: on Zipf graphs a few thousand hub *sources* carry
+    most edges; their columns are stored as a dense [num_dst, H] bf16 matrix so
+    that part of the SpMM is an MXU matmul (sequential HBM reads) instead of
+    random gathers — only the tail edges go through the padded-gather path."""
 
     # per bucket: neighbors [n_b, cap] int32 (0-padded), weights [n_b, cap] f32
     # (0-padded, so pads contribute nothing)
@@ -43,6 +47,8 @@ class PaddedAdj:
     bucket_weights: Tuple[jnp.ndarray, ...]
     inv_perm: jnp.ndarray  # [num_dst] int32: output position -> bucket-order row
     num_dst: int = field(metadata=dict(static=True), default=0)
+    hub_ids: Optional[jnp.ndarray] = None  # [H] int32 hub source ids
+    hub_weights: Optional[jnp.ndarray] = None  # [num_dst, H] bf16 dense weights
 
 
 @jax.tree_util.register_dataclass
@@ -58,11 +64,36 @@ def build_padded_adj(
     weight: np.ndarray,
     num_dst: int,
     min_cap: int = 4,
+    hub_count: int = 0,
+    hub_mem_budget: int = 512 * 1024 * 1024,
 ) -> PaddedAdj:
-    """Host-side vectorized construction (numpy). Edges need not be sorted."""
+    """Host-side vectorized construction (numpy). Edges need not be sorted.
+
+    hub_count > 0 splits the hub_count most frequent *sources* into a dense
+    [num_dst, H] bf16 block (MXU path); shrunk/disabled if it would exceed
+    hub_mem_budget bytes."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float32)
+
+    hub_ids_arr = hub_w_arr = None
+    if hub_count > 0:
+        max_h = max(int(hub_mem_budget // max(num_dst * 2, 1)), 0)
+        freq = np.bincount(src) if len(src) else np.zeros(1, np.int64)
+        h = min(hub_count, max_h, len(freq))
+        if h >= 64:
+            h = (h // 64) * 64  # lane-align the hub axis
+            hub_ids = np.argsort(freq)[::-1][:h].copy()
+            is_hub = np.zeros(freq.shape[0], dtype=bool)
+            is_hub[hub_ids] = True
+            hub_col = np.full(freq.shape[0], -1, dtype=np.int64)
+            hub_col[hub_ids] = np.arange(h)
+            on_hub = is_hub[src]
+            dense = np.zeros((num_dst, h), dtype=np.float32)
+            np.add.at(dense, (dst[on_hub], hub_col[src[on_hub]]), weight[on_hub])
+            hub_ids_arr = jnp.asarray(hub_ids, jnp.int32)
+            hub_w_arr = jnp.asarray(dense, jnp.bfloat16)
+            src, dst, weight = src[~on_hub], dst[~on_hub], weight[~on_hub]
     order = np.argsort(dst, kind="stable")
     src_s, w_s = src[order], weight[order]
     deg = np.bincount(dst, minlength=num_dst)
@@ -80,6 +111,11 @@ def build_padded_adj(
         lo = cap
         if len(nodes) == 0:
             continue
+        if len(src_s) == 0:  # all edges went to the hub-dense block
+            nbrs.append(np.zeros((len(nodes), cap), np.int32))
+            weights.append(np.zeros((len(nodes), cap), np.float32))
+            node_order.append(nodes)
+            continue
         pos = start[nodes][:, None] + np.arange(cap)[None, :]
         mask = np.arange(cap)[None, :] < deg[nodes][:, None]
         pos_c = np.clip(pos, 0, max(len(src_s) - 1, 0))
@@ -94,15 +130,22 @@ def build_padded_adj(
         bucket_weights=tuple(jnp.asarray(a) for a in weights),
         inv_perm=jnp.asarray(inv, jnp.int32),
         num_dst=int(num_dst),
+        hub_ids=hub_ids_arr,
+        hub_weights=hub_w_arr,
     )
 
 
 def build_padded_pair(
-    src: np.ndarray, dst: np.ndarray, weight: np.ndarray, num_dst: int, num_src: int
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    num_dst: int,
+    num_src: int,
+    hub_count: int = 0,
 ) -> PaddedAdjPair:
     return PaddedAdjPair(
-        fwd=build_padded_adj(src, dst, weight, num_dst),
-        bwd=build_padded_adj(dst, src, weight, num_src),
+        fwd=build_padded_adj(src, dst, weight, num_dst, hub_count=hub_count),
+        bwd=build_padded_adj(dst, src, weight, num_src, hub_count=hub_count),
     )
 
 
@@ -117,8 +160,11 @@ def _apply(adj: PaddedAdj, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
                 "nc,ncd->nd", w.astype(compute_dtype), xg, preferred_element_type=jnp.float32
             )
         )
-    y = jnp.concatenate(outs, axis=0)
-    return y[adj.inv_perm].astype(x.dtype)
+    y = jnp.concatenate(outs, axis=0)[adj.inv_perm]
+    if adj.hub_weights is not None:
+        xh = xc[adj.hub_ids].astype(jnp.bfloat16)  # [H, d] — small gather
+        y = y + jnp.dot(adj.hub_weights, xh, preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 def padded_spmm(
