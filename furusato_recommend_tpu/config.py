@@ -116,7 +116,7 @@ class Config:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
-    neg_candidates: int = 8  # bounded on-device rejection-sampling width
+    neg_candidates: int = 4  # bounded rejection width; P(all positive) <= (max_deg/m)^4
     eval_user_batch: int = 1024  # device-side eval tile (users per scoring block)
     donate_params: bool = True
     compute_auc: bool = False  # per-user AUC during eval (reference metric.py:149-158)

@@ -113,6 +113,11 @@ class BipartiteGraph:
     # order (for edge features: timestamps, relation labels)
     item_edge_perm: Optional[jnp.ndarray] = None
 
+    #: static max row lengths — tight bounds for binary-search depth and eval
+    #: padding (0 = unknown; consumers fall back to conservative defaults)
+    max_user_degree: int = dataclasses.field(metadata=dict(static=True), default=0)
+    max_test_degree: int = dataclasses.field(metadata=dict(static=True), default=0)
+
     @property
     def num_nodes(self) -> int:
         return self.n_users + self.m_items
@@ -217,4 +222,6 @@ def build_bipartite_graph(
         user_agg=user_agg,
         item_agg=item_agg,
         item_edge_perm=dev(item_edge_perm),
+        max_user_degree=int((up_indptr[1:] - up_indptr[:-1]).max(initial=0)),
+        max_test_degree=int((tp_indptr[1:] - tp_indptr[:-1]).max(initial=0)),
     )

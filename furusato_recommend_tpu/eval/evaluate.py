@@ -160,6 +160,7 @@ class Evaluator:
                 data.item_categories,
                 data.item_popularity,
                 n_users_norm=float(graph.n_users),
+                max_test_degree=graph.max_test_degree or None,
             )
             if self.config.compute_auc:
                 batch_sums["auc"] = jnp.broadcast_to(
@@ -178,6 +179,7 @@ class Evaluator:
                     data.item_categories,
                     data.item_popularity,
                     n_users_norm=float(graph.n_users),
+                    max_test_degree=graph.max_test_degree or None,
                 )
                 if self.config.compute_auc:
                     cb["auc"] = jnp.broadcast_to(

@@ -34,10 +34,14 @@ from ..ops.csr_search import csr_contains
 __all__ = ["batch_metric_sums", "coverage_from_hits", "item_hits_update"]
 
 
-def _hit_matrix(test_pos: CSR, users: jnp.ndarray, topk_ids: jnp.ndarray) -> jnp.ndarray:
+def _hit_matrix(
+    test_pos: CSR, users: jnp.ndarray, topk_ids: jnp.ndarray, max_test_degree=None
+) -> jnp.ndarray:
     """r[b, k] = 1 if topk_ids[b, k] is a test positive of users[b]
     (the vectorized `getLabel`, `/root/reference/metric.py:50-58`)."""
-    return csr_contains(test_pos, users[:, None], topk_ids).astype(jnp.float32)
+    return csr_contains(
+        test_pos, users[:, None], topk_ids, max_row_len=max_test_degree
+    ).astype(jnp.float32)
 
 
 def batch_metric_sums(
@@ -49,12 +53,13 @@ def batch_metric_sums(
     item_categories: Optional[jnp.ndarray] = None,  # [M, C] int, -1 padded
     item_popularity: Optional[jnp.ndarray] = None,  # [M] float, occurrences/n_users
     n_users_norm: Optional[float] = None,
+    max_test_degree: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-batch metric *sums* over users, one entry per k in topks.
 
     Returns dict of [len(topks)] arrays plus 'count' (valid user count).
     """
-    r = _hit_matrix(test_pos, users, topk_ids)  # [B, Kmax]
+    r = _hit_matrix(test_pos, users, topk_ids, max_test_degree)  # [B, Kmax]
     w = valid.astype(jnp.float32)
     r = r * w[:, None]
     test_deg = (test_pos.indptr[users + 1] - test_pos.indptr[users]).astype(jnp.float32)

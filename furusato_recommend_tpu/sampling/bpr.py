@@ -82,7 +82,8 @@ def sample_bpr(
         cand = neg_alias.sample(k_neg, (num_samples, neg_candidates))
     else:
         cand = jax.random.randint(k_neg, (num_samples, neg_candidates), 0, graph.m_items)
-    is_pos = csr_contains(csr, user[:, None], cand)  # [N, K]
+    max_deg = graph.max_user_degree or None  # tight static search depth
+    is_pos = csr_contains(csr, user[:, None], cand, max_row_len=max_deg)  # [N, K]
     ok = ~is_pos
     # index of first acceptable candidate; if none, argmax returns 0 and we fall
     # back to the last candidate (astronomically rare; see module docstring)

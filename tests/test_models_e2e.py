@@ -216,3 +216,20 @@ def test_infonce_loss_mode(tiny_dataset):
     """In-batch sampled-softmax objective trains and improves recall."""
     r0, r1, _, _ = _train("mf", tiny_dataset, epochs=20, loss_fn="infonce")
     assert r1["recall@10"] > r0["recall@10"] + 0.05
+
+
+def test_cold_start_metrics_emitted():
+    """cold_start=True emits cold_* metric keys restricted to uid<10000
+    (reference logs cold_recall@K etc., trainer.py:250-258)."""
+    from furusato_recommend_tpu.data import synthetic_dataset
+
+    ds = synthetic_dataset(n_users=80, m_items=100, avg_degree=8, seed=5)
+    cfg = Config(model="mf", latent_dim=8, bpr_batch_size=128, lr=0.05,
+                 eval_user_batch=64, topks=(5,), cold_start=True)
+    model = build_model("mf", cfg, ds.graph)
+    tr = Trainer(cfg, ds, model)
+    params, _ = tr.init_state()
+    r = tr.test(params)
+    assert "cold_recall@5" in r
+    # all synthetic uids < 10000 -> cold metrics equal the global ones
+    np.testing.assert_allclose(r["cold_recall@5"], r["recall@5"], atol=1e-6)
