@@ -58,15 +58,16 @@ def main():
     logger = MetricLogger(jsonl_path=f"{config.path}/{config.model}/flagship.jsonl")
     trainer = Trainer(config, dataset, model, logger=logger, ddp_recipe=True)
 
-    params, opt_state = trainer.init_state()
+    state = None
     ckpt = checkpoint_path(config)
     if ckpt.exists():
         # warm-start (the reference reloads the last checkpoint at process
         # start, ddp.py:791-795 — here with optimizer/PRNG state included)
-        params, opt_state = trainer.restore(ckpt)
+        trainer.init_state()  # establish a key before restore overwrites it
+        state = trainer.restore(ckpt)
         cprint(f"warm-started from {ckpt} at epoch {trainer.step}")
 
-    trainer.fit(epochs=config.epochs)
+    trainer.fit(epochs=config.epochs, state=state)
 
 
 if __name__ == "__main__":

@@ -150,12 +150,18 @@ class Trainer:
         results, _ = self.evaluator(params, self.eval_data)
         return results
 
-    def fit(self, epochs: Optional[int] = None):
+    def fit(self, epochs: Optional[int] = None, state=None):
         """Full loop: initial eval; per epoch train + log; every test_span eval +
-        best-checkpoint (reference `train_epoch`, /root/reference/trainer.py:237-258)."""
+        best-checkpoint (reference `train_epoch`, /root/reference/trainer.py:237-258).
+
+        state: optional (params, opt_state) to continue from (e.g. the result
+        of restore()); fresh init otherwise."""
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epochs
-        params, opt_state = self.init_state()
+        if state is not None:
+            params, opt_state = state
+        else:
+            params, opt_state = self.init_state()
         results = self.test(params)
         self.logger.log(results, step=0)
         for epoch in range(1, epochs + 1):
