@@ -63,7 +63,6 @@ def main():
     if ckpt.exists():
         # warm-start (the reference reloads the last checkpoint at process
         # start, ddp.py:791-795 — here with optimizer/PRNG state included)
-        trainer.init_state()  # establish a key before restore overwrites it
         state = trainer.restore(ckpt)
         cprint(f"warm-started from {ckpt} at epoch {trainer.step}")
 

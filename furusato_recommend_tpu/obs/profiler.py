@@ -8,7 +8,6 @@ HBM snapshot helper for the memory logging the reference lacked.
 
 from __future__ import annotations
 
-import contextlib
 from typing import Dict, Optional
 
 import jax

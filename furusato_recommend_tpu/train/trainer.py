@@ -57,6 +57,8 @@ class Trainer:
         self.logger = logger or MetricLogger(quiet=config.test_mode)
         self.max_recall = -1.0
         self.step = 0
+        self._key = jax.random.PRNGKey(config.seed)  # sampling stream; restore()
+        # overwrites it so resumed runs replay the uninterrupted sequence
 
         bs = config.bpr_batch_size
         # samples per epoch: reference draws trainDataSize (single-GPU,
@@ -138,6 +140,7 @@ class Trainer:
         k_init, self._key = jax.random.split(key)
         params = self.model.init(k_init)
         opt_state = self.optimizer.init(params)
+        self.step = 0
         return params, opt_state
 
     def train_one_epoch(self, params, opt_state):
@@ -159,12 +162,14 @@ class Trainer:
         cfg = self.config
         epochs = epochs if epochs is not None else cfg.epochs
         if state is not None:
-            params, opt_state = state
+            params, opt_state = state  # e.g. restore(); self.step/key already set
         else:
             params, opt_state = self.init_state()
         results = self.test(params)
-        self.logger.log(results, step=0)
-        for epoch in range(1, epochs + 1):
+        self.logger.log(results, step=self.step)
+        # `epochs` is the TOTAL epoch budget; a warm-started run continues from
+        # the restored self.step so logged steps stay monotonic across restarts
+        while self.step < epochs:
             t0 = time.perf_counter()
             params, opt_state, loss = self.train_one_epoch(params, opt_state)
             dt = time.perf_counter() - t0
@@ -174,16 +179,16 @@ class Trainer:
                     "epoch_time_s": dt,
                     "samples_per_sec": self.samples_per_epoch / max(dt, 1e-9),
                 },
-                step=epoch,
+                step=self.step,
             )
-            if epoch % cfg.test_span == 0 or epoch == epochs:
+            if self.step % cfg.test_span == 0 or self.step == epochs:
                 results = self.test(params)
-                self.logger.log(results, step=epoch)
+                self.logger.log(results, step=self.step)
                 k0 = cfg.topks[0]
                 if results.get(f"recall@{k0}", -1.0) > self.max_recall:
                     self.max_recall = results[f"recall@{k0}"]
                     self.save(params, opt_state)
-                    cprint(f"[best] recall@{k0}={self.max_recall:.5f} @ epoch {epoch}")
+                    cprint(f"[best] recall@{k0}={self.max_recall:.5f} @ epoch {self.step}")
         return params, opt_state
 
     def save(self, params, opt_state, path=None):

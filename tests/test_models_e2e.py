@@ -204,7 +204,6 @@ def test_trainer_resume(tmp_path, tiny_dataset):
     uninterrupted = np.asarray(p["user_emb"])
 
     tr2 = make()
-    tr2.init_state()  # establishes _key attr; overwritten by restore
     p2, o2 = tr2.restore(ckpt)
     assert tr2.step == 3
     for _ in range(3):
@@ -251,7 +250,6 @@ def test_fit_accepts_restored_state(tmp_path, tiny_dataset):
     trained_user_emb = np.asarray(p["user_emb"]).copy()
 
     tr2 = Trainer(cfg, tiny_dataset, build_model("mf", cfg, tiny_dataset.graph))
-    tr2.init_state()
     state = tr2.restore(ck)
     # fit must START from the restored params (checked via initial eval equality)
     r_restored = tr2.test(state[0])
