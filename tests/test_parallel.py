@@ -95,3 +95,40 @@ def test_host_divergent_key_single_host():
     k2 = host_divergent_key(k)
     # single host: deterministic fold at index 0, stable across calls
     np.testing.assert_array_equal(np.asarray(k2), np.asarray(host_divergent_key(k)))
+
+
+def test_sharded_masked_topk_matches_single_device():
+    """Item-sharded scoring + distributed top-k merge == single-device masked
+    topk (eval/sharded.py; the SURVEY §7.3 'full-catalog eval memory' hard part)."""
+    from jax.sharding import PartitionSpec as P
+
+    from furusato_recommend_tpu.core.mesh import MODEL_AXIS
+    from furusato_recommend_tpu.eval.sharded import MASK_SENTINEL, sharded_masked_topk
+
+    mesh = make_mesh(data=1, model=8)
+    rng = np.random.default_rng(0)
+    B, M, d, K, Pcap = 16, 64 * 8, 8, 10, 6
+    U = rng.standard_normal((B, d)).astype(np.float32)
+    I = rng.standard_normal((M, d)).astype(np.float32)
+    pos = rng.integers(0, M, (B, Pcap)).astype(np.int32)
+    pmask = rng.random((B, Pcap)) < 0.7
+
+    from jax.sharding import NamedSharding
+    I_dev = jax.device_put(jnp.asarray(I), NamedSharding(mesh, P(MODEL_AXIS, None)))
+    v, ids = sharded_masked_topk(
+        jnp.asarray(U), I_dev, jnp.asarray(pos), jnp.asarray(pmask), K, mesh
+    )
+    # single-device reference
+    s = U @ I.T
+    for b in range(B):
+        s[b, pos[b][pmask[b]]] = MASK_SENTINEL
+    ref_ids = np.argsort(-s, axis=1)[:, :K]
+    ref_v = np.take_along_axis(s, ref_ids, axis=1)
+    np.testing.assert_allclose(np.asarray(v), ref_v, rtol=1e-5)
+    # ids may tie-swap; compare score sets
+    got_v = np.take_along_axis(s, np.asarray(ids), axis=1)
+    np.testing.assert_allclose(got_v, ref_v, rtol=1e-5)
+    # masked positives never returned
+    for b in range(B):
+        banned = set(pos[b][pmask[b]].tolist())
+        assert not banned & set(np.asarray(ids)[b].tolist())
