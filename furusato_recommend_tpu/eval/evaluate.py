@@ -91,7 +91,10 @@ class Evaluator:
         self.topks = tuple(config.topks)
         self.kmax = max(self.topks)
         self.max_train_degree = int(max_train_degree)
-        self._run = jax.jit(partial(self._evaluate, graph))
+        self.graph = graph
+        # graph + model-held data are jit ARGUMENTS (not closure constants —
+        # see PairwiseModel.data_to_bind)
+        self._run = jax.jit(self._evaluate)
 
     def _score_tile(self, user_emb, item_emb, graph, users):
         s = (user_emb[users] @ item_emb.T).astype(jnp.float32)
@@ -104,7 +107,11 @@ class Evaluator:
         s = s.at[b, cols].set(MASK_SENTINEL, mode="drop")
         return s
 
-    def _evaluate(self, graph: BipartiteGraph, params: Params, data: EvalData):
+    def _evaluate(self, graph: BipartiteGraph, params: Params, data: EvalData, bound):
+        with self.model.bind(bound):
+            return self._evaluate_inner(graph, params, data)
+
+    def _evaluate_inner(self, graph: BipartiteGraph, params: Params, data: EvalData):
         if self.config.inference == "sample" and hasattr(self.model, "propagate_sampled"):
             # `--inference sample`: sampled-subgraph encoding instead of exact
             # full-graph means (/root/reference/model/graphsage.py:401-477)
@@ -220,7 +227,9 @@ class Evaluator:
 
         results keys: {metric}@{k} floats + 'coverage@{k}' + (cold_* if enabled).
         """
-        sums, cold_sums, hits, topks = self._run(params, data)
+        sums, cold_sums, hits, topks = self._run(
+            self.graph, params, data, self.model.data_to_bind()
+        )
         sums = jax.device_get(sums)
         hits = np.asarray(jax.device_get(hits))
         n = float(sums.pop("count"))

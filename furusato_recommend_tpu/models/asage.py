@@ -84,6 +84,24 @@ class ASAGE(SAGE):
         self.attr_loss_weight = attr_loss_weight
         self.ssl_weight = ssl_weight
 
+    def data_to_bind(self):
+        attrs = (self.user_attr_fwd, self.user_attr_bwd, self.item_attr_fwd, self.item_attr_bwd)
+        return (super().data_to_bind(), attrs)
+
+    import contextlib as _contextlib
+
+    @_contextlib.contextmanager
+    def bind(self, data):
+        base, attrs = data
+        old = (self.user_attr_fwd, self.user_attr_bwd, self.item_attr_fwd, self.item_attr_bwd)
+        self.user_attr_fwd, self.user_attr_bwd, self.item_attr_fwd, self.item_attr_bwd = attrs
+        try:
+            with super().bind(base):
+                yield
+        finally:
+            (self.user_attr_fwd, self.user_attr_bwd,
+             self.item_attr_fwd, self.item_attr_bwd) = old
+
     def init(self, key: jax.Array) -> Params:
         k1, k2, k3 = jax.random.split(key, 3)
         p = super().init(k1)

@@ -76,7 +76,28 @@ def l2_params(params: Params) -> jnp.ndarray:
 class PairwiseModel:
     """Base class. Subclasses must set ``self.config`` and implement ``init``,
     ``propagate``; the default ``loss`` trains on propagated embeddings (the
-    no-sampling / full-graph shape, cf. NSSAGE `/root/reference/model/nssage.py:353-379`)."""
+    no-sampling / full-graph shape, cf. NSSAGE `/root/reference/model/nssage.py:353-379`).
+
+    Large device data a model holds on ``self`` (feature stores, text
+    adjacencies, sequences) must flow through jit boundaries as ARGUMENTS, not
+    closures — closed-over arrays are baked into the compiled program as
+    constants, bloating executables and overflowing remote-compile payloads at
+    production scale. Models expose that data via ``data_to_bind()`` and the
+    trainer/evaluator re-attach it inside the traced function with ``bind()``
+    so attribute reads during tracing see tracers."""
+
+    def data_to_bind(self):
+        """Pytree of device arrays held on self that jitted callers must pass
+        through as arguments (None if the model holds none)."""
+        return None
+
+    import contextlib as _contextlib
+
+    @_contextlib.contextmanager
+    def bind(self, data):
+        """Temporarily attach ``data`` (as produced by data_to_bind, possibly
+        tracers) during tracing. Default: no-op."""
+        yield
 
     #: apply sigmoid to full-catalog scores (MF parity,
     #: `/root/reference/model/MF.py:56-60`; monotonic, so top-K invariant)

@@ -210,6 +210,21 @@ class SAGE(PairwiseModel):
             p["rel_emb"] = _xavier(next(keys), (n_rel, self.node_dim))
         return p
 
+    # -- jit-boundary data protocol (see PairwiseModel.data_to_bind) --
+    def data_to_bind(self):
+        return (self.features, self._text_adj)
+
+    import contextlib as _contextlib
+
+    @_contextlib.contextmanager
+    def bind(self, data):
+        old = (self.features, self._text_adj)
+        self.features, self._text_adj = data
+        try:
+            yield
+        finally:
+            self.features, self._text_adj = old
+
     def _rel_chain(self, params) -> Optional[List[jnp.ndarray]]:
         """Per-layer relation embeddings: rel_{i+1} = rel_linear_i(rel_i)
         (`/root/reference/model/rsage.py:375` relation_linears)."""

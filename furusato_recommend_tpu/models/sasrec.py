@@ -52,6 +52,22 @@ class SASRec(SAGE):
         super().__init__(config, graph, features, conv="sage_cat")
         self.sequences = sequences
 
+    def data_to_bind(self):
+        return (super().data_to_bind(), self.sequences)
+
+    import contextlib as _contextlib
+
+    @_contextlib.contextmanager
+    def bind(self, data):
+        base, seqs = data
+        old = self.sequences
+        self.sequences = seqs
+        try:
+            with super().bind(base):
+                yield
+        finally:
+            self.sequences = old
+
     def init(self, key: jax.Array) -> Params:
         k_base, k_rest = jax.random.split(key)
         p = super().init(k_base)  # feature encoders (+ unused conv layers, like

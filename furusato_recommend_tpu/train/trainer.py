@@ -94,42 +94,49 @@ class Trainer:
 
     # -- compiled epoch --
     def _build_train_epoch(self):
-        model, graph, opt = self.model, self.graph, self.optimizer
+        """The whole epoch as one jitted program. The graph, sampler alias
+        tables, and model-held device data flow through the jit boundary as
+        ARGUMENTS — closing over them would bake them into the executable as
+        constants (bloats compiles; overflows remote-compile payloads at
+        production scale)."""
+        model, opt = self.model, self.optimizer
         bs, nb = self.config.bpr_batch_size, self.num_batches
-        edge_alias, neg_alias = self.edge_alias, self.neg_alias
         neg_k = self.config.neg_candidates
 
-        def train_step(carry, inp):
-            params, opt_state = carry
-            batch, key = inp
-            (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
-                params, graph, batch, key
-            )
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+        def train_epoch(params, opt_state, key, graph, aliases, bound):
+            with model.bind(bound):
+                edge_alias, neg_alias = aliases
 
-        def train_epoch(params, opt_state, key):
-            k_sample, k_steps = jax.random.split(key)
-            s = sample_bpr(
-                k_sample,
-                graph,
-                nb * bs,
-                neg_candidates=neg_k,
-                edge_alias=edge_alias,
-                neg_alias=neg_alias,
-            )
-            batches = BPRBatch(
-                user=s.user.reshape(nb, bs),
-                pos=s.pos.reshape(nb, bs),
-                neg=s.neg.reshape(nb, bs),
-                valid=s.valid.reshape(nb, bs),
-            )
-            step_keys = jax.random.split(k_steps, nb)
-            (params, opt_state), losses = jax.lax.scan(
-                train_step, (params, opt_state), (batches, step_keys)
-            )
-            return params, opt_state, jnp.mean(losses)
+                def train_step(carry, inp):
+                    params, opt_state = carry
+                    batch, k = inp
+                    (loss, _aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                        params, graph, batch, k
+                    )
+                    updates, opt_state = opt.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+
+                k_sample, k_steps = jax.random.split(key)
+                s = sample_bpr(
+                    k_sample,
+                    graph,
+                    nb * bs,
+                    neg_candidates=neg_k,
+                    edge_alias=edge_alias,
+                    neg_alias=neg_alias,
+                )
+                batches = BPRBatch(
+                    user=s.user.reshape(nb, bs),
+                    pos=s.pos.reshape(nb, bs),
+                    neg=s.neg.reshape(nb, bs),
+                    valid=s.valid.reshape(nb, bs),
+                )
+                step_keys = jax.random.split(k_steps, nb)
+                (params, opt_state), losses = jax.lax.scan(
+                    train_step, (params, opt_state), (batches, step_keys)
+                )
+                return params, opt_state, jnp.mean(losses)
 
         donate = (0, 1) if self.config.donate_params else ()
         return jax.jit(train_epoch, donate_argnums=donate)
@@ -145,7 +152,14 @@ class Trainer:
 
     def train_one_epoch(self, params, opt_state):
         self._key, k = jax.random.split(self._key)
-        params, opt_state, loss = self._train_epoch(params, opt_state, k)
+        params, opt_state, loss = self._train_epoch(
+            params,
+            opt_state,
+            k,
+            self.graph,
+            (self.edge_alias, self.neg_alias),
+            self.model.data_to_bind(),
+        )
         self.step += 1
         return params, opt_state, float(loss)
 
