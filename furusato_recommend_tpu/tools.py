@@ -88,7 +88,8 @@ def cmd_train_ranker(args):
     from .rank.pipeline import build_rank_groups
     from .rank.ranker import NeuralRanker
 
-    config = Config(data_path=args.data_path, for_lgbm=True, lgbm_ratio=args.lgbm_ratio)
+    config = Config(data_path=args.data_path, for_lgbm=True, lgbm_ratio=args.lgbm_ratio,
+                    user_feature="nc", item_feature="nc")  # make_X needs cat+numeric
     dataset = load_text_dataset(config)
     features = load_reference_features(config, config.data_path)
     # held-out = the lgbm slice: full rows minus the for_lgbm-train rows
@@ -116,7 +117,7 @@ def cmd_rerank_eval(args):
     from .rank.pipeline import rerank_eval
     from .rank.ranker import NeuralRanker
 
-    config = Config(data_path=args.data_path)
+    config = Config(data_path=args.data_path, user_feature="nc", item_feature="nc")
     dataset = load_text_dataset(config)
     features = load_reference_features(config, config.data_path)
     ranker = NeuralRanker(features)
