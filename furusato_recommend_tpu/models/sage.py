@@ -287,25 +287,36 @@ class SAGE(PairwiseModel):
         """Initial embeddings for EVERY entity of one side, with text bags as
         scatter-free padded SpMM. One pass over N entities replaces repeated
         per-tree-node feature assembly (tree levels then gather [*, node_dim]
-        rows instead of re-gathering 300-dim raw features per occurrence)."""
+        rows instead of re-gathering 300-dim raw features per occurrence).
+
+        Feature artifacts may cover MORE entities than the current dataset
+        slice (the reference's --test truncation keeps full-size artifacts);
+        only the first n rows participate."""
         feats = self.features.user if side == "user" else self.features.item
         flags = self.user_flags if side == "user" else self.item_flags
         n = self.n_users if side == "user" else self.m_items
+        if feats.n_entities < n:
+            raise ValueError(
+                f"{side} feature artifacts cover {feats.n_entities} entities "
+                f"but the dataset has {n}"
+            )
         ids = jnp.arange(n)
         parts: List[jnp.ndarray] = []
         if "n" in flags:
-            parts.append(feats.numeric @ params[f"{side}_numeric_w"] + params[f"{side}_numeric_b"])
+            parts.append(
+                feats.numeric[:n] @ params[f"{side}_numeric_w"] + params[f"{side}_numeric_b"]
+            )
         if "t" in flags or (side == "item" and "r" in flags):
-            bags = self._all_text_bags(params, side)  # [N, T, dw]
+            bags = self._all_text_bags(params, side)[:n]  # [n, T, dw]
             n_fields = 3 if "t" in flags else 0
             for f in range(n_fields):
                 parts.append(bags[:, f])
             if side == "item" and "r" in flags:
                 parts.append(bags[:, 3])
         if "w" in flags:
-            parts.append(feats.word2vec)
+            parts.append(feats.word2vec[:n])
         if "c" in flags:
-            ce = params[f"{side}_cat_emb"][feats.categorical]
+            ce = params[f"{side}_cat_emb"][feats.categorical[:n]]
             mean_emb = jnp.mean(ce, axis=-2)
             if self.config.factorization:
                 sq_sum = jnp.sum(ce, axis=-2) ** 2
@@ -313,9 +324,9 @@ class SAGE(PairwiseModel):
                 mean_emb = jnp.concatenate([mean_emb, 0.5 * (sq_sum - sum_sq)], axis=-1)
             parts.append(mean_emb)
         if side == "item" and "s" in flags:
-            parts.append(feats.sentence)
+            parts.append(feats.sentence[:n])
         if "b" in flags and feats.bert is not None:
-            parts.append(feats.bert)
+            parts.append(feats.bert[:n])
         x = jnp.concatenate(parts, axis=-1)
         x = x @ params[f"{side}_proj_w"] + params[f"{side}_proj_b"]
         if side == "user" and self.config.cold_start:
