@@ -246,3 +246,29 @@ def test_initial_all_matches_per_ids(sage_ds):
         a = np.asarray(m._initial_all(params, side))
         b = np.asarray(m._initial_side_emb(params, jnp.arange(n), side))
         np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-3)  # bf16 spmm path
+
+
+def test_asage_infonce_ssl(sage_ds):
+    """ASAGE's optional InfoNCE SSL term (the reference's commented-out variant)."""
+    from furusato_recommend_tpu.models.asage import ASAGE
+
+    cfg = _cfg(user_feature="ncw", item_feature="ncw", bpr_batch_size=64)
+    fs = synthetic_features(sage_ds, cfg, seed=1)
+    m = ASAGE(cfg, sage_ds.graph, fs, ssl_weight=0.1)
+    params = m.init(jax.random.PRNGKey(0))
+    b = sample_bpr(jax.random.PRNGKey(1), sage_ds.graph, 64)
+    loss, aux = m.loss(params, sage_ds.graph, b, jax.random.PRNGKey(2))
+    assert "infonce" in aux and np.isfinite(float(loss))
+
+
+def test_metric_logger_jsonl(tmp_path):
+    import json as _json
+
+    from furusato_recommend_tpu.obs.log import MetricLogger
+
+    p = tmp_path / "m.jsonl"
+    lg = MetricLogger(jsonl_path=p, quiet=True)
+    lg.log({"loss": 1.5, "recall@10": 0.2}, step=3)
+    lg.close()
+    row = _json.loads(p.read_text().strip())
+    assert row["loss"] == 1.5 and row["step"] == 3 and "ts" in row
