@@ -85,6 +85,7 @@ class Evaluator:
         graph: BipartiteGraph,
         config: Config,
         max_train_degree: int,
+        mesh=None,
     ):
         self.model = model
         self.config = config
@@ -92,6 +93,11 @@ class Evaluator:
         self.kmax = max(self.topks)
         self.max_train_degree = int(max_train_degree)
         self.graph = graph
+        # multi-chip: route scoring through the item-sharded distributed top-K
+        # merge (eval/sharded.py) instead of a single-device [B, M] buffer
+        self.mesh = mesh
+        if mesh is not None and config.compute_auc:
+            raise ValueError("compute_auc needs full [B, M] scores; unsupported under a mesh")
         # graph + model-held data are jit ARGUMENTS (not closure constants —
         # see PairwiseModel.data_to_bind)
         self._run = jax.jit(self._evaluate)
@@ -123,7 +129,22 @@ class Evaluator:
         m = graph.m_items
         cold_enabled = self.config.cold_start
 
-        use_pallas = self.config.use_pallas_topk and not self.config.compute_auc
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..core.mesh import MODEL_AXIS
+
+            # pin the catalog rows to the model axis once, outside the scan,
+            # so every tile's shard_map reuses the same layout
+            item_emb = jax.lax.with_sharding_constraint(
+                item_emb, NamedSharding(self.mesh, P(MODEL_AXIS, None))
+            )
+
+        use_pallas = (
+            self.config.use_pallas_topk
+            and not self.config.compute_auc
+            and self.mesh is None
+        )
 
         def pallas_topk_tile(users):
             # streaming kernel retrieves kmax + slack, then the train positives
@@ -152,7 +173,22 @@ class Evaluator:
         def step(carry, inp):
             sums, cold_sums, hits = carry
             users, valid = inp
-            if use_pallas:
+            if self.mesh is not None:
+                from ..eval.sharded import sharded_masked_topk
+
+                scores = None
+                pos, mask = csr_gather_padded(graph.user_pos, users, self.max_train_degree)
+                _, topk = sharded_masked_topk(
+                    user_emb[users],
+                    item_emb,
+                    pos,
+                    mask,
+                    self.kmax,
+                    self.mesh,
+                    sigmoid=self.model.score_sigmoid,
+                    m_valid=m,
+                )
+            elif use_pallas:
                 scores = None
                 topk = pallas_topk_tile(users)
             else:
@@ -221,15 +257,17 @@ class Evaluator:
         return sums, cold_sums, hits, topks
 
     def __call__(
-        self, params: Params, data: EvalData
+        self, params: Params, data: EvalData, bound=None
     ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
         """Returns (results, topk_ids [n_test_users_padded, Kmax]).
 
         results keys: {metric}@{k} floats + 'coverage@{k}' + (cold_* if enabled).
+        bound: pre-placed model-held device data (Trainer passes its replicated
+        copy under a mesh); default re-reads model.data_to_bind().
         """
-        sums, cold_sums, hits, topks = self._run(
-            self.graph, params, data, self.model.data_to_bind()
-        )
+        if bound is None:
+            bound = self.model.data_to_bind()
+        sums, cold_sums, hits, topks = self._run(self.graph, params, data, bound)
         sums = jax.device_get(sums)
         hits = np.asarray(jax.device_get(hits))
         n = float(sums.pop("count"))

@@ -24,6 +24,7 @@ import optax
 
 from ..config import Config
 from ..core.checkpoint import checkpoint_path, save_checkpoint
+from ..core.mesh import DATA_AXIS, make_mesh, replicated, shard_params
 from ..data.dataset import Dataset
 from ..eval.evaluate import EvalData, Evaluator, build_eval_data
 from ..models.base import PairwiseModel, Params
@@ -55,6 +56,23 @@ class Trainer:
         self.model = model
         self.graph = dataset.graph
         self.logger = logger or MetricLogger(quiet=config.test_mode)
+        # multi-chip: honor Config.mesh (--mesh_data/--mesh_model). The epoch
+        # program shards batches over `data` and tables over `model`; eval goes
+        # through the item-sharded distributed top-K merge. Replaces the
+        # reference's runnable DDP entry points (/root/reference/ddp.py:758-906).
+        self.mesh = None
+        if config.mesh.num_devices > 1:
+            if config.bpr_batch_size % config.mesh.data:
+                raise ValueError(
+                    f"bpr_batch_size {config.bpr_batch_size} not divisible by "
+                    f"mesh data axis {config.mesh.data}"
+                )
+            if config.eval_user_batch % config.mesh.data:
+                raise ValueError(
+                    f"eval_user_batch {config.eval_user_batch} not divisible by "
+                    f"mesh data axis {config.mesh.data}"
+                )
+            self.mesh = make_mesh(config.mesh.data, config.mesh.model)
         self.max_recall = -1.0
         self.step = 0
         self._key = jax.random.PRNGKey(config.seed)  # sampling stream; restore()
@@ -84,12 +102,33 @@ class Trainer:
             self.edge_alias = edge_alias_from_weights(w)
 
         self.optimizer = optax.adam(config.lr)
+
+        self._bound = self.model.data_to_bind()
+        if self.mesh is not None:
+            # replicate the graph, alias tables, and model-held device data over
+            # the mesh so jitted programs see consistently-placed inputs
+            rep = replicated(self.mesh)
+
+            def _rep(x):
+                return jax.device_put(x, rep) if hasattr(x, "ndim") else x
+
+            self.graph = jax.tree_util.tree_map(_rep, self.graph)
+            self.edge_alias = jax.tree_util.tree_map(_rep, self.edge_alias)
+            self.neg_alias = jax.tree_util.tree_map(_rep, self.neg_alias)
+            self._bound = jax.tree_util.tree_map(_rep, self._bound)
+
         self._train_epoch = self._build_train_epoch()
 
         max_deg = int(np.max(np.bincount(dataset.train_user, minlength=dataset.n_users)))
-        self.evaluator = Evaluator(model, self.graph, config, max_train_degree=max_deg)
+        self.evaluator = Evaluator(
+            model, self.graph, config, max_train_degree=max_deg, mesh=self.mesh
+        )
         self.eval_data: EvalData = build_eval_data(
-            dataset, config.eval_user_batch, item_categories=item_categories
+            dataset,
+            config.eval_user_batch,
+            item_categories=item_categories,
+            # DDP eval truncation (TEST_COUNT, /root/reference/ddp.py:826-847)
+            max_batches=config.test_count if ddp_recipe else None,
         )
 
     # -- compiled epoch --
@@ -102,20 +141,63 @@ class Trainer:
         model, opt = self.model, self.optimizer
         bs, nb = self.config.bpr_batch_size, self.num_batches
         neg_k = self.config.neg_candidates
+        # train_emb=False (reference default): compute the all-entity initial
+        # (feature) embeddings ONCE per epoch and reuse the epoch-start
+        # linearization (jax.vjp) for their gradients in every step — the
+        # reference's per-epoch get_initial_embedding + retain_graph recipe
+        # (`/root/reference/model/graphsage.py:368-394`) made sound. Applies to
+        # models exposing initial_tables() and a loss(tables=) hook.
+        import inspect
+
+        use_cache = (
+            not self.config.train_emb
+            and hasattr(model, "initial_tables")
+            and not getattr(model, "full_graph_train", False)
+            and "tables" in inspect.signature(model.loss).parameters
+        )
+        mesh = self.mesh
+        batch_spec = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # [num_batches, B] sampled tiles: shard each tile over `data` so
+            # every scan step is a data-parallel SPMD step (tables row-sharded
+            # over `model` via init_state's placement propagate through)
+            batch_spec = NamedSharding(mesh, P(None, DATA_AXIS))
 
         def train_epoch(params, opt_state, key, graph, aliases, bound):
             with model.bind(bound):
                 edge_alias, neg_alias = aliases
 
-                def train_step(carry, inp):
-                    params, opt_state = carry
-                    batch, k = inp
-                    (loss, _aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
-                        params, graph, batch, k
-                    )
-                    updates, opt_state = opt.update(grads, opt_state, params)
-                    params = optax.apply_updates(params, updates)
-                    return (params, opt_state), loss
+                if use_cache:
+                    tables0, tables_vjp = jax.vjp(model.initial_tables, params)
+
+                    def cached_loss(p, t, batch, k):
+                        return model.loss(p, graph, batch, k, tables=t)
+
+                    def train_step(carry, inp):
+                        params, opt_state = carry
+                        batch, k = inp
+                        (loss, _aux), (g_p, g_t) = jax.value_and_grad(
+                            cached_loss, argnums=(0, 1), has_aux=True
+                        )(params, tables0, batch, k)
+                        (g_feat,) = tables_vjp(g_t)
+                        grads = jax.tree_util.tree_map(jnp.add, g_p, g_feat)
+                        updates, opt_state = opt.update(grads, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_state), loss
+
+                else:
+
+                    def train_step(carry, inp):
+                        params, opt_state = carry
+                        batch, k = inp
+                        (loss, _aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                            params, graph, batch, k
+                        )
+                        updates, opt_state = opt.update(grads, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_state), loss
 
                 k_sample, k_steps = jax.random.split(key)
                 s = sample_bpr(
@@ -132,6 +214,11 @@ class Trainer:
                     neg=s.neg.reshape(nb, bs),
                     valid=s.valid.reshape(nb, bs),
                 )
+                if batch_spec is not None:
+                    batches = jax.tree_util.tree_map(
+                        lambda x: jax.lax.with_sharding_constraint(x, batch_spec),
+                        batches,
+                    )
                 step_keys = jax.random.split(k_steps, nb)
                 (params, opt_state), losses = jax.lax.scan(
                     train_step, (params, opt_state), (batches, step_keys)
@@ -146,6 +233,8 @@ class Trainer:
         key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
         k_init, self._key = jax.random.split(key)
         params = self.model.init(k_init)
+        if self.mesh is not None:
+            params = shard_params(params, self.mesh)
         opt_state = self.optimizer.init(params)
         self.step = 0
         return params, opt_state
@@ -158,13 +247,13 @@ class Trainer:
             k,
             self.graph,
             (self.edge_alias, self.neg_alias),
-            self.model.data_to_bind(),
+            self._bound,
         )
         self.step += 1
         return params, opt_state, float(loss)
 
     def test(self, params) -> Dict[str, float]:
-        results, _ = self.evaluator(params, self.eval_data)
+        results, _ = self.evaluator(params, self.eval_data, bound=self._bound)
         return results
 
     def fit(self, epochs: Optional[int] = None, state=None):
@@ -224,6 +313,10 @@ class Trainer:
         state = load_checkpoint(path or checkpoint_path(self.config))
         params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         opt_state = jax.tree_util.tree_map(jnp.asarray, state["opt_state"])
+        if self.mesh is not None:
+            # adam moments mirror param shapes -> same row-sharding rule applies
+            params = shard_params(params, self.mesh)
+            opt_state = shard_params(opt_state, self.mesh)
         self.step = int(state["step"])
         self._key = jnp.asarray(state["key"])
         self.max_recall = float(state["max_recall"])
