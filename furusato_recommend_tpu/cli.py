@@ -23,6 +23,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--decay", type=float, default=1e-7)
     p.add_argument("--dropout", type=int, default=0)
     p.add_argument("--keepprob", type=float, default=0.6)
+    # accepted for invocation parity; the degree-bucketed SpMM already bounds
+    # propagation memory, so folding is subsumed (warned at startup if set)
     p.add_argument("--a_fold", type=int, default=1000)
     p.add_argument("--num_neighbors", type=int, default=5)
     p.add_argument("--testbatch", type=int, default=10000)
@@ -74,9 +76,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
         decay=args.decay,
         dropout=bool(args.dropout),
         keep_prob=args.keepprob,
-        a_fold=args.a_fold,
         num_neighbors=args.num_neighbors,
-        test_batch_size=args.testbatch,
+        # --testbatch is the reference's eval user-batch size
+        # (`/root/reference/trainer.py:124`); it IS the eval tile here
+        eval_user_batch=args.testbatch,
         topks=tuple(ast.literal_eval(args.topks)),
         epochs=args.epochs,
         test_span=args.test_span,
@@ -119,6 +122,11 @@ def main(argv=None):
     from .train.trainer import Trainer
 
     cprint(f"[furusato_recommend_tpu] model={config.model} dim={config.latent_dim}")
+    if args.a_fold != 1000:
+        print(
+            "[cli] --a_fold is subsumed on TPU: the degree-bucketed padded SpMM "
+            "(ops/padded_adj.py) already bounds propagation memory; no folding applied"
+        )
     dataset = load_text_dataset(config)
     print(
         f"{dataset.train_size} train / {dataset.test_size} test interactions; "
@@ -137,6 +145,9 @@ def main(argv=None):
     logger = MetricLogger(
         jsonl_path=f"{config.path}/{config.model}/metrics.jsonl",
         wandb_run=(None if config.test_mode else config.wandb or None),
+        tensorboard_dir=(
+            f"{config.path}/{config.model}/tb" if config.tensorboard else None
+        ),
     )
     trainer = Trainer(config, dataset, model, logger=logger, ddp_recipe=args.ddp_recipe)
     trainer.fit()

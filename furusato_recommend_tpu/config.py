@@ -71,9 +71,7 @@ class Config:
     decay: float = 1e-7  # --decay (L2 coefficient)
     dropout: bool = False  # --dropout
     keep_prob: float = 0.6  # --keepprob
-    a_fold: int = 1000  # --a_fold (kept for parity; the TPU SpMM shards instead)
     num_neighbors: int = 5  # --num_neighbors (fanout per layer)
-    test_batch_size: int = 10000  # --testbatch
     topks: Sequence[int] = (10, 20)  # --topks
     epochs: int = 1000  # --epochs
     test_span: int = 10  # --test_span
@@ -83,7 +81,14 @@ class Config:
     conv: str = "gcn"  # --conv in {transformer, gat, ggnn, gcn, sage}
     multi_relational: str = "add"  # --multi_relational in {add, sum, prod}
     inference: str = "all"  # --inference in {all, sample}
-    train_emb: bool = False  # --train_emb
+    #: --train_emb: True = recompute initial (feature) embeddings per training
+    #: step (fresh gradients; `/root/reference/model/graphsage.py:376-381`);
+    #: False (reference default) = compute them once per epoch and reuse the
+    #: epoch-start linearization across all steps — the reference's
+    #: ``retain_graph=True`` recipe (`/root/reference/model/graphsage.py:391-394`)
+    #: made sound: stale-but-consistent feature grads via a frozen jax.vjp
+    #: instead of backprop through a graph whose params already moved.
+    train_emb: bool = False
     sample_pow: float = 0.0  # --sample_pow (popularity-weighted positive sampling)
     factorization: bool = False  # --factorization (FM second-order term)
 
@@ -165,6 +170,9 @@ class Config:
         d["topks"] = tuple(d["topks"])
         if isinstance(d.get("mesh"), dict):
             d["mesh"] = MeshConfig(**d["mesh"])
+        # ignore fields from older checkpoints that no longer exist
+        known = {f.name for f in dataclasses.fields(cls)}
+        d = {k: v for k, v in d.items() if k in known}
         return cls(**d)
 
 

@@ -102,9 +102,9 @@ class ASAGE(SAGE):
             (self.user_attr_fwd, self.user_attr_bwd,
              self.item_attr_fwd, self.item_attr_bwd) = old
 
-    def init(self, key: jax.Array) -> Params:
+    def _init(self, key: jax.Array) -> Params:
         k1, k2, k3 = jax.random.split(key, 3)
-        p = super().init(k1)
+        p = super()._init(k1)
         p["user_attr_emb"] = _xavier(k2, (self.n_user_attrs, self.node_dim))
         p["item_attr_emb"] = _xavier(k3, (self.n_item_attrs, self.node_dim))
         return p
@@ -149,11 +149,11 @@ class ASAGE(SAGE):
             xs = new_xs
         return xs[0]
 
-    def loss(self, params, graph, batch: BPRBatch, key):
+    def loss(self, params, graph, batch: BPRBatch, key, tables=None):
         k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-        u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True)
-        p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True)
-        n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True)
+        u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True, tables=tables)
+        p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True, tables=tables)
+        n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True, tables=tables)
         ua = self._encode_attr_tree(params, batch.user, "user", k4, train=True)
         pa = self._encode_attr_tree(params, batch.pos, "item", k5, train=True)
         na = self._encode_attr_tree(params, batch.neg, "item", k6, train=True)

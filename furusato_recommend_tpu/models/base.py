@@ -108,9 +108,27 @@ class PairwiseModel:
         self.n_users = graph.n_users
         self.m_items = graph.m_items
 
+    @property
+    def compute_dtype(self):
+        """Matmul/SpMM compute precision (config.compute_dtype; bf16 rides the
+        MXU at full rate, f32 accumulation everywhere)."""
+        return jnp.dtype(self.config.compute_dtype)
+
     # -- to implement --
-    def init(self, key: jax.Array) -> Params:
+    def _init(self, key: jax.Array) -> Params:
         raise NotImplementedError
+
+    def init(self, key: jax.Array) -> Params:
+        """Parameter pytree in ``config.param_dtype`` (float32 default;
+        bfloat16 halves table HBM at some optimizer-precision cost)."""
+        params = self._init(key)
+        dt = jnp.dtype(self.config.param_dtype)
+        if dt == jnp.float32:
+            return params
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
 
     def propagate(
         self, params: Params, graph: BipartiteGraph, key: jax.Array | None = None

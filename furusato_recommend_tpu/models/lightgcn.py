@@ -52,7 +52,7 @@ class LightGCN(PairwiseModel):
         self.loss_mode = loss_mode
         self.pretrained = pretrained  # --pretrain (/root/reference/model/MF.py:136-151)
 
-    def init(self, key: jax.Array) -> Params:
+    def _init(self, key: jax.Array) -> Params:
         if self.pretrained is not None:
             u, i = self.pretrained
             return {
@@ -104,7 +104,7 @@ class LightGCN(PairwiseModel):
             and not (self.config.dropout and key is not None)
         )
         if use_padded:
-            step = lambda h: padded_spmm(graph.norm_padded, h)
+            step = lambda h: padded_spmm(graph.norm_padded, h, self.compute_dtype)
         else:
             edges = self._edges(graph)
             if self.config.dropout and key is not None:

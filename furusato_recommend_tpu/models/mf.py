@@ -32,7 +32,7 @@ class MF(PairwiseModel):
         #: (/root/reference/model/MF.py:136-151 copies npy embeddings in)
         self.pretrained = pretrained
 
-    def init(self, key: jax.Array) -> Params:
+    def _init(self, key: jax.Array) -> Params:
         if self.pretrained is not None:
             u, i = self.pretrained
             return {

@@ -134,7 +134,7 @@ class SAGE(PairwiseModel):
 
         feats = self.features.user if side == "user" else self.features.item
         n, fields, _ = feats.text.shape
-        flat = padded_spmm(self._text_adj[side], params["word_emb"])  # [N*T, dw]
+        flat = padded_spmm(self._text_adj[side], params["word_emb"], self.compute_dtype)  # [N*T, dw]
         return flat.reshape(n, fields, self.word_dim)
 
     # ---- parameter init ----
@@ -159,7 +159,7 @@ class SAGE(PairwiseModel):
                 total += fb.shape[1]
         return total
 
-    def init(self, key: jax.Array) -> Params:
+    def _init(self, key: jax.Array) -> Params:
         keys = iter(jax.random.split(key, 64))
         p: Params = {}
         d = self.dim
@@ -360,8 +360,8 @@ class SAGE(PairwiseModel):
             # /root/reference/model/textsage.py:457-487); padded scatter-free
             # SpMM when available (ops/padded_adj.py)
             if use_padded:
-                user_aggr = padded_spmm(graph.user_agg, item_x)
-                item_aggr = padded_spmm(graph.item_agg, user_x)
+                user_aggr = padded_spmm(graph.user_agg, item_x, self.compute_dtype)
+                item_aggr = padded_spmm(graph.item_agg, user_x, self.compute_dtype)
             else:
                 user_aggr = segment_mean(item_x[graph.user_pos.indices], u_rows, self.n_users)
                 item_aggr = segment_mean(user_x[graph.item_pos.indices], i_rows, self.m_items)
@@ -492,7 +492,21 @@ class SAGE(PairwiseModel):
         return self._head(params, out, seed_side)
 
     # ---- training loss ----
-    def loss(self, params, graph, batch: BPRBatch, key):
+    def initial_tables(self, params):
+        """All-entity initial (feature) embeddings — the epoch-cacheable stage.
+
+        With ``config.train_emb=False`` (reference default) the Trainer calls
+        this ONCE per epoch and threads the frozen-linearization VJP through
+        every step, reproducing the reference's compute-once-per-epoch +
+        ``retain_graph=True`` recipe (`/root/reference/model/graphsage.py:368-394`)
+        without its stale-autograd-graph defect. With ``train_emb=True`` this is
+        recomputed inside every step's loss (fresh gradients,
+        `/root/reference/model/graphsage.py:376-381`)."""
+        return self._initial_all(params, "user"), self._initial_all(params, "item")
+
+    def loss(self, params, graph, batch: BPRBatch, key, tables=None):
+        """tables: optional precomputed (user_x, item_x) initial embeddings
+        (the Trainer's train_emb=False epoch cache); None = compute here."""
         if self.full_graph_train:
             # NSSAGE shape: full propagation then index (model/nssage.py:353-379)
             user_emb, item_emb = self.propagate(params, graph, key)
@@ -512,11 +526,8 @@ class SAGE(PairwiseModel):
                 if self.precompute_initial is not None
                 else tree_nodes >= (self.n_users + self.m_items) // 4
             )
-            tables = (
-                (self._initial_all(params, "user"), self._initial_all(params, "item"))
-                if pre
-                else None
-            )
+            if tables is None:
+                tables = self.initial_tables(params) if pre else None
             u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True, tables=tables)
             p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True, tables=tables)
             n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True, tables=tables)

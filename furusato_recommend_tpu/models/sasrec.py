@@ -68,9 +68,9 @@ class SASRec(SAGE):
         finally:
             self.sequences = old
 
-    def init(self, key: jax.Array) -> Params:
+    def _init(self, key: jax.Array) -> Params:
         k_base, k_rest = jax.random.split(key)
-        p = super().init(k_base)  # feature encoders (+ unused conv layers, like
+        p = super()._init(k_base)  # feature encoders (+ unused conv layers, like
         # the reference's leftover w_linears/v_linears)
         keys = iter(jax.random.split(k_rest, 8 * self.n_layers + 8))
         d = self.dim

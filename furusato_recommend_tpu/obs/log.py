@@ -36,6 +36,7 @@ class MetricLogger:
         wandb_run: Optional[str] = None,
         project: str = "furusato_recommendation",
         quiet: bool = False,
+        tensorboard_dir: Optional[str | Path] = None,
     ):
         self.quiet = quiet
         self._jsonl = None
@@ -51,6 +52,18 @@ class MetricLogger:
                 self._wandb = wandb.init(project=project, name=wandb_run)
             except Exception as e:  # pragma: no cover - network/env dependent
                 print(f"[obs] wandb unavailable ({e}); falling back to jsonl/stdout")
+        # --tensorboard sink: the reference parses the flag but never writes
+        # (vestigial SummaryWriter, /root/reference/parse.py:32, world.py:114);
+        # here it is a real scalar sink
+        self._tb = None
+        self._tb_step = 0
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=str(tensorboard_dir))
+            except Exception as e:  # pragma: no cover - env dependent
+                print(f"[obs] tensorboard unavailable ({e}); falling back to jsonl/stdout")
 
     def log(self, metrics: Dict[str, float], step: Optional[int] = None) -> None:
         payload = {k: float(v) for k, v in metrics.items()}
@@ -64,12 +77,20 @@ class MetricLogger:
             self._jsonl.flush()
         if self._wandb:
             self._wandb.log(payload, step=step)
+        if self._tb:
+            s = step if step is not None else self._tb_step
+            self._tb_step = s + 1
+            for k, v in payload.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, global_step=s)
 
     def close(self) -> None:
         if self._jsonl:
             self._jsonl.close()
         if self._wandb:
             self._wandb.finish()
+        if self._tb:
+            self._tb.close()
 
 
 @contextlib.contextmanager

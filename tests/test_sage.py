@@ -272,3 +272,40 @@ def test_metric_logger_jsonl(tmp_path):
     lg.close()
     row = _json.loads(p.read_text().strip())
     assert row["loss"] == 1.5 and row["step"] == 3 and "ts" in row
+
+
+def test_train_emb_cached_epoch(sage_ds):
+    """train_emb=False (reference default): initial tables computed once per
+    epoch, feature grads via the frozen epoch-start vjp — the feature params
+    (word_emb) must still receive updates, and the model must still learn."""
+    cfg = _cfg(train_emb=False, epochs=4, test_span=10, user_feature="nwt", item_feature="nwt")
+    fs = synthetic_features(sage_ds, cfg, seed=3)
+    model = build_model("textsage", cfg, sage_ds.graph, features=fs)
+    tr = Trainer(cfg, sage_ds, model)
+    params, opt_state = tr.init_state()
+    w0 = np.asarray(params["word_emb"]).copy()
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss = tr.train_one_epoch(params, opt_state)
+        losses.append(loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # frozen-linearization gradients DO flow into the feature tables
+    assert not np.allclose(np.asarray(params["word_emb"]), w0)
+
+
+def test_train_emb_fresh_close_to_cached(sage_ds):
+    """Within one epoch the cached (train_emb=False) and fresh (True) programs
+    start from the same params and should end statistically close — the cache
+    only freezes the initial-table linearization at epoch start."""
+    losses = {}
+    for flag in (False, True):
+        cfg = _cfg(train_emb=flag, epochs=2)
+        fs = synthetic_features(sage_ds, cfg, seed=3)
+        model = build_model("textsage", cfg, sage_ds.graph, features=fs)
+        tr = Trainer(cfg, sage_ds, model)
+        params, opt_state = tr.init_state()
+        for _ in range(2):
+            params, opt_state, loss = tr.train_one_epoch(params, opt_state)
+        losses[flag] = loss
+    assert abs(losses[True] - losses[False]) < 0.25, losses
