@@ -42,7 +42,12 @@ class Dataset:
     train_item: np.ndarray  # [E] int
     test_user: np.ndarray
     test_item: np.ndarray
+    #: production-inference edge set (train+test for `suffix=='all'`,
+    #: `/root/reference/ddp.py:62-75`); None -> the train edges
+    inference_user: Optional[np.ndarray] = None
+    inference_item: Optional[np.ndarray] = None
     _graph: Optional[BipartiteGraph] = field(default=None, repr=False)
+    _inference_graph: Optional[BipartiteGraph] = field(default=None, repr=False)
 
     @property
     def train_size(self) -> int:
@@ -64,6 +69,68 @@ class Dataset:
                 self.m_items,
             )
         return self._graph
+
+    @property
+    def has_inference_edges(self) -> bool:
+        return self.inference_user is not None
+
+    @property
+    def inference_graph(self) -> BipartiteGraph:
+        """Propagation graph over the INFERENCE edge set — the production flow
+        aggregates over train+test interactions while still masking only the
+        train positives (`/root/reference/ddp_inference.py:139-170` propagates
+        `inference_edge_index`, masks `allPos`). Falls back to the train graph
+        when no separate inference edges exist (`/root/reference/ddp.py:66-68`)."""
+        if self.inference_user is None:
+            return self.graph
+        if self._inference_graph is None:
+            self._inference_graph = build_bipartite_graph(
+                self.inference_user,
+                self.inference_item,
+                self.test_user,
+                self.test_item,
+                self.n_users,
+                self.m_items,
+            )
+        return self._inference_graph
+
+    @classmethod
+    def from_interactions(
+        cls,
+        train_user,
+        train_item,
+        test_user,
+        test_item,
+        n_users: Optional[int] = None,
+        m_items: Optional[int] = None,
+        inference_user=None,
+        inference_item=None,
+    ) -> "Dataset":
+        """COO-array constructor — the dataframe-ingestion shape of the DDP
+        `Datas` path (`/root/reference/ddp.py:40-102`): callers hand over
+        cf_customer/cf_product columns (plus the optional production inference
+        edge set) instead of adjacency-list text files."""
+        train_user = np.asarray(train_user, dtype=np.int64)
+        train_item = np.asarray(train_item, dtype=np.int64)
+        test_user = np.asarray(test_user, dtype=np.int64)
+        test_item = np.asarray(test_item, dtype=np.int64)
+        users = np.concatenate([train_user, test_user])
+        items = np.concatenate([train_item, test_item])
+        if inference_user is not None:
+            inference_user = np.asarray(inference_user, dtype=np.int64)
+            inference_item = np.asarray(inference_item, dtype=np.int64)
+            users = np.concatenate([users, inference_user])
+            items = np.concatenate([items, inference_item])
+        return cls(
+            n_users=int(n_users if n_users is not None else users.max() + 1),
+            m_items=int(m_items if m_items is not None else items.max() + 1),
+            train_user=train_user,
+            train_item=train_item,
+            test_user=test_user,
+            test_item=test_item,
+            inference_user=inference_user,
+            inference_item=inference_item,
+        )
 
     # --- ragged host-side views (parity with the reference API; not used on TPU) ---
     def all_pos(self) -> List[np.ndarray]:
@@ -169,13 +236,37 @@ def load_text_dataset(config: Config, path: Optional[str] = None) -> Dataset:
         te_u.extend([uid] * len(items))
         te_i.extend(items)
 
+    tr_u_arr = np.asarray(tr_u, dtype=np.int64)
+    tr_i_arr = np.asarray(tr_i, dtype=np.int64)
+    te_u_arr = np.asarray(te_u, dtype=np.int64)
+    te_i_arr = np.asarray(te_i, dtype=np.int64)
+
+    # production inference edge set: an explicit inference{suffix}.txt wins;
+    # otherwise suffix=='all' means train+test, exactly the reference's Datas
+    # rule (`/root/reference/ddp.py:51-68`)
+    inf_u = inf_i = None
+    inf_file = train_file.parent / f"inference{sfx}.txt"
+    if inf_file.exists():
+        iu: List[int] = []
+        ii: List[int] = []
+        for uid, items in _parse_adjacency(inf_file, stop_uid):
+            iu.extend([uid] * len(items))
+            ii.extend(items)
+        inf_u = np.asarray(iu, dtype=np.int64)
+        inf_i = np.asarray(ii, dtype=np.int64)
+    elif sfx == "all":
+        inf_u = np.concatenate([tr_u_arr, te_u_arr])
+        inf_i = np.concatenate([tr_i_arr, te_i_arr])
+
     return Dataset(
         n_users=n_user + 1,
         m_items=m_item + 1,
-        train_user=np.asarray(tr_u, dtype=np.int64),
-        train_item=np.asarray(tr_i, dtype=np.int64),
-        test_user=np.asarray(te_u, dtype=np.int64),
-        test_item=np.asarray(te_i, dtype=np.int64),
+        train_user=tr_u_arr,
+        train_item=tr_i_arr,
+        test_user=te_u_arr,
+        test_item=te_i_arr,
+        inference_user=inf_u,
+        inference_item=inf_i,
     )
 
 

@@ -78,6 +78,31 @@ def cmd_evaluate(args):
         print(f"wrote {args.save_result}")
 
 
+def cmd_infer(args):
+    """ddp_inference.py equivalent: checkpoint -> full-graph inference over the
+    INFERENCE edge set (train+test for --suffix all) -> targeted per-user CSVs."""
+    from .eval.inference import production_inference
+
+    config, dataset, model, params = _load_run(args)
+    if not dataset.has_inference_edges:
+        print(
+            "[infer] no separate inference edge set (need --suffix all or an "
+            "inference{suffix}.txt); propagating over train edges"
+        )
+    target = [int(t) for t in args.target_batches.split(",") if t != ""]
+    paths = production_inference(
+        model,
+        params,
+        dataset,
+        config,
+        out_dir=args.out_dir,
+        user_batch_size=args.user_batch,
+        target_batches=target,
+        k=args.k,
+    )
+    print(f"wrote {len(paths)} csv(s)")
+
+
 def cmd_train_ranker(args):
     import jax
 
@@ -143,6 +168,21 @@ def main(argv=None):
     e.add_argument("--data_path", default=None)
     e.add_argument("--save_result", default=None, help="also write per-user CSV")
     e.set_defaults(fn=cmd_evaluate)
+
+    i = sub.add_parser(
+        "infer", help="ddp_inference.py equivalent: checkpoint -> per-user CSVs"
+    )
+    i.add_argument("--ckpt", required=True)
+    i.add_argument("--data_path", default=None)
+    i.add_argument("--out_dir", default="./data/result")
+    i.add_argument("--user_batch", type=int, default=1000)
+    i.add_argument(
+        "--target_batches",
+        default="0",
+        help="comma-separated user-batch indices (reference ran 1000,5000,8500)",
+    )
+    i.add_argument("--k", type=int, default=20)
+    i.set_defaults(fn=cmd_infer)
 
     t = sub.add_parser("train-ranker", help="train_lgbm.py equivalent")
     t.add_argument("--candidates", nargs="+", required=True)
