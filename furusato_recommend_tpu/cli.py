@@ -112,6 +112,45 @@ def config_from_args(args: argparse.Namespace) -> Config:
     )
 
 
+def build_model_inputs(config, dataset):
+    """(graph, model_kw) for build_model: features for the SAGE family,
+    sequences for sasrec, attribute COOs for asage, and the multi-relational
+    message graph + edge labels for rsage (shared by cli.py and tools.py)."""
+    import dataclasses
+
+    graph = dataset.graph
+    model_kw = {}
+    if config.model not in ("mf", "lgn", "rgcn", "radj", "lgcnssm"):
+        from .data.features import (
+            load_attribute_coos,
+            load_reference_features,
+            load_relation_edges,
+        )
+
+        features = load_reference_features(config, config.data_path, dataset=dataset)
+        if config.model == "sasrec":
+            from .data.sequence import build_sequences
+
+            model_kw["sequences"] = build_sequences(dataset)
+        if config.model == "asage":
+            attrs = load_attribute_coos(config, config.data_path)
+            if attrs:
+                model_kw.update(attrs)
+        if config.model == "rsage":
+            rel = load_relation_edges(config, config.data_path)
+            if rel:
+                from .data.graph import build_relational_graph
+
+                graph, labels = build_relational_graph(dataset, rel)
+                features = dataclasses.replace(
+                    features, edge_label=labels, n_relations=len(rel) + 1
+                )
+                # keep the dataset's cached graph consistent with the model's
+                dataset._graph = graph
+        model_kw["features"] = features
+    return graph, model_kw
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     config = config_from_args(args)
@@ -132,16 +171,8 @@ def main(argv=None):
         f"{dataset.train_size} train / {dataset.test_size} test interactions; "
         f"sparsity {dataset.sparsity():.6f}"
     )
-    model_kw = {}
-    if config.model not in ("mf", "lgn", "rgcn", "radj", "lgcnssm"):
-        from .data.features import load_reference_features
-
-        model_kw["features"] = load_reference_features(config, config.data_path)
-        if config.model == "sasrec":
-            from .data.sequence import build_sequences
-
-            model_kw["sequences"] = build_sequences(dataset)
-    model = build_model(config.model, config, dataset.graph, **model_kw)
+    graph, model_kw = build_model_inputs(config, dataset)
+    model = build_model(config.model, config, graph, **model_kw)
     logger = MetricLogger(
         jsonl_path=f"{config.path}/{config.model}/metrics.jsonl",
         wandb_run=(None if config.test_mode else config.wandb or None),

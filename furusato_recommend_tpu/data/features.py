@@ -35,7 +35,15 @@ import numpy as np
 from ..config import Config
 from .dataset import Dataset
 
-__all__ = ["SideFeatures", "FeatureStore", "synthetic_features", "pad_text_rows"]
+__all__ = [
+    "SideFeatures",
+    "FeatureStore",
+    "synthetic_features",
+    "pad_text_rows",
+    "load_reference_features",
+    "load_attribute_coos",
+    "load_relation_edges",
+]
 
 #: projection input dims per feature flag (reference proj_dim map,
 #: /root/reference/model/textsage.py:170-175); 't' is 3 bags of d/2 and 'r' one
@@ -155,19 +163,28 @@ def synthetic_features(
     )
 
 
-def load_reference_features(config: Config, base_path: str) -> FeatureStore:
+def load_reference_features(
+    config: Config, base_path: str, dataset: Optional[Dataset] = None
+) -> FeatureStore:
     """Load the reference's on-disk artifacts (SURVEY.md §2.5 outputs):
     ``customer_feature_pad{sfx}.npy``, ``product_feature_pad{sfx}.npy``,
     ``user_text_emb{sfx}.npy``, ``product_text_emb{sfx}.npy``,
-    ``*_numeric_feature{sfx}.npy``, ``product_sentence_emb{sfx}.npy`` and the
+    ``*_numeric_feature{sfx}.npy``, ``product_sentence_emb{sfx}.npy``, the
     ``*_count{sfx}.pkl`` scipy CSR text matrices
-    (`/root/reference/model/textsage.py:86-220` path scheme)."""
+    (`/root/reference/model/textsage.py:86-220` path scheme), DeBERTa
+    embeddings for the 'b' flag
+    (``text/{sfx}/{customer,product}_deberta_feature{sfx}.pt``,
+    `/root/reference/model/mrec.py:154-157`), and — when ``dataset`` is given —
+    per-edge purchase timestamps from ``cf/buy_timestamp{sfx}.pkl``
+    (`/root/reference/model/tgsrec.py:105-106`), aligned to the user-CSR edge
+    order the temporal convs expect."""
     import pickle
     from pathlib import Path
 
     sfx = config.suffix
     cb = Path(base_path) / "cb" / sfx if sfx else Path(base_path) / "cb"
     tx = Path(base_path) / "text" / sfx if sfx else Path(base_path) / "text"
+    cf = Path(base_path) / "cf"
 
     def np_load(p):
         return np.load(p, allow_pickle=True)
@@ -175,6 +192,12 @@ def load_reference_features(config: Config, base_path: str) -> FeatureStore:
     def pkl_load(p):
         with open(p, "rb") as f:
             return pickle.load(f)
+
+    def pt_load(p):
+        import torch
+
+        t = torch.load(p, map_location="cpu", weights_only=False)
+        return np.asarray(t.detach().numpy() if hasattr(t, "detach") else t)
 
     uf, itf = config.user_feature, config.item_feature
     text_width = 64
@@ -210,6 +233,9 @@ def load_reference_features(config: Config, base_path: str) -> FeatureStore:
         word2vec=jnp.asarray(np_load(tx / f"user_text_emb{sfx}.npy"), jnp.float32)
         if "w" in uf
         else None,
+        bert=jnp.asarray(pt_load(tx / f"customer_deberta_feature{sfx}.pt"), jnp.float32)
+        if "b" in uf
+        else None,
         text=None if user_text is None else jnp.asarray(user_text),
     )
     item = SideFeatures(
@@ -223,12 +249,94 @@ def load_reference_features(config: Config, base_path: str) -> FeatureStore:
         sentence=jnp.asarray(np_load(cb / f"product_sentence_emb{sfx}.npy"), jnp.float32)
         if "s" in itf
         else None,
+        bert=jnp.asarray(pt_load(tx / f"product_deberta_feature{sfx}.pt"), jnp.float32)
+        if "b" in itf
+        else None,
         text=None if item_text is None else jnp.asarray(item_text),
     )
+
+    # per-edge purchase timestamps (tgsrec/sasgnn): buy_timestamp{sfx}.pkl is a
+    # (n_users x m_items)-indexable sparse matrix in the reference
+    # (`/root/reference/model/tgsrec.py:339-342` mat[user, item] lookups) — or a
+    # flat [E] array in raw interaction order; both land as [E] user-CSR-ordered
+    edge_time = None
+    ts_path = cf / f"buy_timestamp{sfx}.pkl"
+    if config.model in ("tgsrec", "sasgnn") and ts_path.exists():
+        if dataset is None:
+            raise ValueError(
+                f"{config.model} needs dataset= to align {ts_path} to edge order"
+            )
+        ts = pkl_load(ts_path)
+        tu, ti = dataset.train_user, dataset.train_item
+        if hasattr(ts, "toarray") or hasattr(ts, "tocsr"):  # scipy sparse
+            ts = ts.tocsr()
+            raw = np.asarray(ts[tu, ti]).reshape(-1).astype(np.float32)
+        else:
+            raw = np.asarray(ts, dtype=np.float32).reshape(-1)
+            if raw.shape[0] != len(tu):
+                raise ValueError(
+                    f"buy_timestamp length {raw.shape[0]} != train edges {len(tu)}"
+                )
+        order = np.lexsort((ti, tu))  # raw COO -> user-CSR edge order
+        edge_time = jnp.asarray(raw[order])
+
     return FeatureStore(
         user=user,
         item=item,
         user_cat_vocab=0 if user_cat is None else int(user_cat.max()) + 1,
         item_cat_vocab=0 if item_cat is None else int(item_cat.max()) + 1,
         text_vocab=vocab,
+        edge_time=edge_time,
     )
+
+
+def load_attribute_coos(config: Config, base_path: str):
+    """ASAGE attribute tensors (``attribute/{user,product}_attribute{sfx}.pt``,
+    `/root/reference/model/asage.py:55-79`): [2, nnz] (entity, attribute) COO
+    index pairs. Returns {"user_attr": (rows, cols, n, n_attrs), "item_attr":
+    ...} kwargs for ASAGE, or None if the artifacts are absent (ASAGE then
+    derives attribute graphs from the categorical features)."""
+    from pathlib import Path
+
+    import torch
+
+    sfx = config.suffix
+    at = Path(base_path) / "attribute"
+    up = at / f"user_attribute{sfx}.pt"
+    ip = at / f"product_attribute{sfx}.pt"
+    if not (up.exists() and ip.exists()):
+        return None
+
+    def coo(p):
+        t = torch.load(p, map_location="cpu", weights_only=False)
+        arr = np.asarray(t.detach().numpy() if hasattr(t, "detach") else t)
+        rows, cols = arr[0].astype(np.int64), arr[1].astype(np.int64)
+        return rows, cols, int(rows.max()) + 1, int(cols.max()) + 1
+
+    return {"user_attr": coo(up), "item_attr": coo(ip)}
+
+
+def load_relation_edges(config: Config, base_path: str):
+    """RSAGE extra relation edge sets (``favorite_train{sfx}.csv``,
+    ``review_train{sfx}.csv`` with cf_customer/cf_product columns,
+    `/root/reference/model/rsage.py:168-187`). Returns [(u, i), ...] in label
+    order (favorite=1, review=2) or None if absent."""
+    from pathlib import Path
+
+    import pandas as pd
+
+    sfx = config.suffix
+    base = Path(base_path)
+    out = []
+    for name in ("favorite_train", "review_train"):
+        p = base / f"{name}{sfx}.csv"
+        if not p.exists():
+            return None
+        df = pd.read_csv(p)
+        out.append(
+            (
+                df["cf_customer"].values.astype(np.int64),
+                df["cf_product"].values.astype(np.int64),
+            )
+        )
+    return out

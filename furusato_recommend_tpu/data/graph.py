@@ -31,7 +31,7 @@ import numpy as np
 if TYPE_CHECKING:
     from ..ops.padded_adj import PaddedAdjPair
 
-__all__ = ["CSR", "COOEdges", "BipartiteGraph", "build_bipartite_graph"]
+__all__ = ["CSR", "COOEdges", "BipartiteGraph", "build_bipartite_graph", "build_relational_graph"]
 
 
 @jax.tree_util.register_dataclass
@@ -113,10 +113,35 @@ class BipartiteGraph:
     # order (for edge features: timestamps, relation labels)
     item_edge_perm: Optional[jnp.ndarray] = None
 
+    # MESSAGE-PASSING edge set when it differs from the train interactions:
+    # RSAGE concatenates purchase + favorite + review edges for propagation
+    # (`/root/reference/model/rsage.py:168-207`) while BPR positives and eval
+    # masking stay purchase-only. None -> propagation uses user_pos/item_pos.
+    msg_user_pos: Optional[CSR] = None
+    msg_item_pos: Optional[CSR] = None
+    msg_item_edge_perm: Optional[jnp.ndarray] = None
+
     #: static max row lengths — tight bounds for binary-search depth and eval
     #: padding (0 = unknown; consumers fall back to conservative defaults)
     max_user_degree: int = dataclasses.field(metadata=dict(static=True), default=0)
     max_test_degree: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    # -- propagation accessors: message CSRs when present, train CSRs otherwise --
+    @property
+    def prop_user_pos(self) -> CSR:
+        return self.msg_user_pos if self.msg_user_pos is not None else self.user_pos
+
+    @property
+    def prop_item_pos(self) -> CSR:
+        return self.msg_item_pos if self.msg_item_pos is not None else self.item_pos
+
+    @property
+    def prop_item_edge_perm(self) -> Optional[jnp.ndarray]:
+        return (
+            self.msg_item_edge_perm
+            if self.msg_item_edge_perm is not None
+            else self.item_edge_perm
+        )
 
     @property
     def num_nodes(self) -> int:
@@ -153,6 +178,7 @@ def build_bipartite_graph(
     m_items: int,
     padded: bool = True,
     hub_count: int = 1024,
+    extra_edges=None,  # [(u_arr, i_arr), ...] additional relation edge sets
 ) -> BipartiteGraph:
     """Construct the device graph from COO interaction arrays.
 
@@ -189,6 +215,29 @@ def build_bipartite_graph(
     order = np.argsort(dst, kind="stable")
     src, dst, weight = src[order], dst[order], weight[order]
 
+    # message-passing edge set: train edges plus any extra relation edge sets
+    # (RSAGE purchase+favorite+review, /root/reference/model/rsage.py:168-207)
+    msg_user = train_user
+    msg_item = train_item
+    msg_user_pos = msg_item_pos = None
+    msg_item_edge_perm = None
+    if extra_edges:
+        msg_user = np.concatenate(
+            [train_user] + [np.asarray(u, dtype=np.int64) for u, _ in extra_edges]
+        )
+        msg_item = np.concatenate(
+            [train_item] + [np.asarray(i, dtype=np.int64) for _, i in extra_edges]
+        )
+        mu_indptr, mu_indices = _csr_from_coo(msg_user, msg_item, n_users)
+        mi_indptr, mi_indices = _csr_from_coo(msg_item, msg_user, m_items)
+        m_order_u = np.lexsort((msg_item, msg_user))
+        m_order_i = np.lexsort((msg_user, msg_item))
+        m_inv_u = np.empty(len(m_order_u), np.int64)
+        m_inv_u[m_order_u] = np.arange(len(m_order_u))
+        msg_item_edge_perm = m_inv_u[m_order_i].astype(np.int32)
+        msg_user_pos = CSR(jnp.asarray(mu_indptr), jnp.asarray(mu_indices))
+        msg_item_pos = CSR(jnp.asarray(mi_indptr), jnp.asarray(mi_indices))
+
     norm_padded = user_agg = item_agg = None
     if padded:
         from ..ops.padded_adj import PaddedAdjPair, build_padded_adj, build_padded_pair
@@ -197,15 +246,17 @@ def build_bipartite_graph(
         # of random gathers (ops/padded_adj.py; measured 1.66x on fwd+bwd)
         sym = build_padded_adj(src, dst, weight, n_users + m_items, hub_count=hub_count)
         norm_padded = PaddedAdjPair(fwd=sym, bwd=sym)  # symmetric: A^T = A
-        deg_u = np.maximum(np.bincount(train_user, minlength=n_users), 1)
-        deg_i = np.maximum(np.bincount(train_item, minlength=m_items), 1)
-        w_mean_u = (1.0 / deg_u[train_user]).astype(np.float32)
+        # mean aggregation runs over the MESSAGE edges (== train edges unless
+        # extra relation edge sets are present)
+        deg_u = np.maximum(np.bincount(msg_user, minlength=n_users), 1)
+        deg_i = np.maximum(np.bincount(msg_item, minlength=m_items), 1)
+        w_mean_u = (1.0 / deg_u[msg_user]).astype(np.float32)
         user_agg = build_padded_pair(
-            train_item, train_user, w_mean_u, n_users, m_items, hub_count=hub_count
+            msg_item, msg_user, w_mean_u, n_users, m_items, hub_count=hub_count
         )
-        w_mean_i = (1.0 / deg_i[train_item]).astype(np.float32)
+        w_mean_i = (1.0 / deg_i[msg_item]).astype(np.float32)
         item_agg = build_padded_pair(
-            train_user, train_item, w_mean_i, m_items, n_users, hub_count=hub_count
+            msg_user, msg_item, w_mean_i, m_items, n_users, hub_count=hub_count
         )
 
     dev = jnp.asarray
@@ -222,6 +273,40 @@ def build_bipartite_graph(
         user_agg=user_agg,
         item_agg=item_agg,
         item_edge_perm=dev(item_edge_perm),
+        msg_user_pos=msg_user_pos,
+        msg_item_pos=msg_item_pos,
+        msg_item_edge_perm=None if msg_item_edge_perm is None else dev(msg_item_edge_perm),
         max_user_degree=int((up_indptr[1:] - up_indptr[:-1]).max(initial=0)),
         max_test_degree=int((tp_indptr[1:] - tp_indptr[:-1]).max(initial=0)),
     )
+
+
+def build_relational_graph(dataset, relation_edges):
+    """(graph, edge_label) for multi-relational models: message CSRs over
+    purchase + extra relation edges; labels 0 = purchase, k = k-th extra set
+    (`/root/reference/model/rsage.py:204-207`), in msg user-CSR edge order —
+    the alignment `FeatureStore.edge_label` consumers expect."""
+    graph = build_bipartite_graph(
+        dataset.train_user,
+        dataset.train_item,
+        dataset.test_user,
+        dataset.test_item,
+        dataset.n_users,
+        dataset.m_items,
+        extra_edges=relation_edges,
+    )
+    msg_user = np.concatenate(
+        [dataset.train_user] + [np.asarray(u, dtype=np.int64) for u, _ in relation_edges]
+    )
+    msg_item = np.concatenate(
+        [dataset.train_item] + [np.asarray(i, dtype=np.int64) for _, i in relation_edges]
+    )
+    labels = np.concatenate(
+        [np.zeros(len(dataset.train_user), np.int32)]
+        + [
+            np.full(len(u), k + 1, np.int32)
+            for k, (u, _) in enumerate(relation_edges)
+        ]
+    )
+    order = np.lexsort((msg_item, msg_user))  # same sort as _csr_from_coo
+    return graph, jnp.asarray(labels[order])

@@ -74,7 +74,11 @@ class ASAGE(SAGE):
         ssl_weight: float = 0.0,
     ):
         super().__init__(config, graph, features, conv="sage_cat")
-        attrs = attributes_from_categorical(features)
+        attrs = (
+            attributes_from_categorical(features)
+            if (user_attr is None or item_attr is None)
+            else None
+        )
         ua = user_attr if user_attr is not None else attrs["user"]
         ia = item_attr if item_attr is not None else attrs["item"]
         self.n_user_attrs = ua[3]

@@ -83,6 +83,11 @@ def _rsage(c, g, features=None, **kw):
 
     if features is None:
         raise ValueError("rsage requires features=FeatureStore(...)")
+    if features.edge_label is None:
+        raise ValueError(
+            "rsage needs features.edge_label (favorite_train/review_train csvs "
+            "via data.graph.build_relational_graph, or synthetic labels)"
+        )
     return SAGE(c, g, features, conv=f"relational_{c.multi_relational}", **kw)
 
 

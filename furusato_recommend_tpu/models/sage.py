@@ -351,8 +351,8 @@ class SAGE(PairwiseModel):
         item_x = self._initial_all(params, "item")
         use_padded = graph.user_agg is not None
         if not use_padded:
-            u_rows = csr_row_ids(graph.user_pos)
-            i_rows = csr_row_ids(graph.item_pos)
+            u_rows = csr_row_ids(graph.prop_user_pos)
+            i_rows = csr_row_ids(graph.prop_item_pos)
         rel_chain = self._rel_chain(params)
         user_layers, item_layers = [user_x], [item_x]
         for i in range(self.n_layers):
@@ -363,8 +363,8 @@ class SAGE(PairwiseModel):
                 user_aggr = padded_spmm(graph.user_agg, item_x, self.compute_dtype)
                 item_aggr = padded_spmm(graph.item_agg, user_x, self.compute_dtype)
             else:
-                user_aggr = segment_mean(item_x[graph.user_pos.indices], u_rows, self.n_users)
-                item_aggr = segment_mean(user_x[graph.item_pos.indices], i_rows, self.m_items)
+                user_aggr = segment_mean(item_x[graph.prop_user_pos.indices], u_rows, self.n_users)
+                item_aggr = segment_mean(user_x[graph.prop_item_pos.indices], i_rows, self.m_items)
             ec = {
                 "edge_time": self.features.edge_time,
                 "edge_label": self.features.edge_label,
@@ -439,7 +439,7 @@ class SAGE(PairwiseModel):
         edge_pos: List[Optional[jnp.ndarray]] = [None]
         for l in range(L):
             key, k = jax.random.split(key)
-            csr = graph.user_pos if sides[l] == "user" else graph.item_pos
+            csr = graph.prop_user_pos if sides[l] == "user" else graph.prop_item_pos
             s = sample_neighbors(k, csr, levels[l], F)
             levels.append(s.ids)
             level_valid.append(s.has_neighbors)

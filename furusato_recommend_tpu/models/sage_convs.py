@@ -115,11 +115,11 @@ def _pin_full(lp, x_self, aggr, other_x, side, ctx):
     graph = ctx["graph"]
     q_other = jax.nn.relu(other_x @ lp["q_w"] + lp["q_b"])
     if side == "user":
-        rows = csr_row_ids(graph.user_pos)
-        aggr_q = segment_mean(q_other[graph.user_pos.indices], rows, graph.n_users)
+        rows = csr_row_ids(graph.prop_user_pos)
+        aggr_q = segment_mean(q_other[graph.prop_user_pos.indices], rows, graph.n_users)
     else:
-        rows = csr_row_ids(graph.item_pos)
-        aggr_q = segment_mean(q_other[graph.item_pos.indices], rows, graph.m_items)
+        rows = csr_row_ids(graph.prop_item_pos)
+        aggr_q = segment_mean(q_other[graph.prop_item_pos.indices], rows, graph.m_items)
     return jnp.concatenate([x_self, aggr_q], axis=-1) @ lp["w"] + lp["b"]
 
 
@@ -165,7 +165,7 @@ def _gat_full(lp, x_self, aggr, other_x, side, ctx):
     from ..ops.segment import segment_softmax_aggregate
 
     graph = ctx["graph"]
-    csr = graph.user_pos if side == "user" else graph.item_pos
+    csr = graph.prop_user_pos if side == "user" else graph.prop_item_pos
     nbr_proj = other_x @ lp["w"]
     self_proj = x_self @ lp["w"]
     num = x_self.shape[0]
@@ -227,7 +227,7 @@ def _tf_full_factory(root_weight: bool, cat_combine: bool):
         from ..ops.segment import segment_mh_attention
 
         graph = ctx["graph"]
-        csr = graph.user_pos if side == "user" else graph.item_pos
+        csr = graph.prop_user_pos if side == "user" else graph.prop_item_pos
         out = segment_mh_attention(lp, x_self, other_x, csr, N_HEADS)
         if cat_combine:
             return jnp.concatenate([out, x_self], axis=-1) @ lp["w_out"] + lp["b_out"]
@@ -298,8 +298,9 @@ def get_conv(name: str) -> Conv:
 
 # ---------------------------------------------------------------------------
 # Edge-feature convs: relational (rsage), temporal (tgsrec), recency (sasgnn).
-# Edge features (timestamps, relation labels) are stored in user_pos CSR order;
-# item-side lookups go through graph.item_edge_perm.
+# Edge features (timestamps, relation labels) are stored in the MESSAGE
+# user-CSR edge order (prop_user_pos — equals user_pos unless extra relation
+# edge sets exist); item-side lookups go through graph.prop_item_edge_perm.
 # ---------------------------------------------------------------------------
 
 
@@ -307,13 +308,13 @@ def _edge_feat(ctx, feat_user_order):
     pos = ctx["edge_pos"]
     if ctx["side"] == "user":
         return feat_user_order[pos]
-    return feat_user_order[ctx["graph"].item_edge_perm[pos]]
+    return feat_user_order[ctx["graph"].prop_item_edge_perm[pos]]
 
 
 def _edge_feat_full(graph, side, feat_user_order):
     if side == "user":
         return feat_user_order
-    return feat_user_order[graph.item_edge_perm]
+    return feat_user_order[graph.prop_item_edge_perm]
 
 
 # ---- relational (RSAGE): relation embeddings mixed into source messages
@@ -361,7 +362,7 @@ def _rel_full_factory(mode):
         from ..ops.segment import segment_mean
 
         graph = ctx["graph"]
-        csr = graph.user_pos if side == "user" else graph.item_pos
+        csr = graph.prop_user_pos if side == "user" else graph.prop_item_pos
         labels = _edge_feat_full(graph, side, ctx["edge_label"])
         rel = ctx["rel_emb"][labels]
         msg = _rel_combine(mode, other_x[csr.indices], rel)
@@ -415,7 +416,7 @@ def _temporal_full(lp, x_self, aggr, other_x, side, ctx):
     from ..ops.segment import segment_sum
 
     graph = ctx["graph"]
-    csr = graph.user_pos if side == "user" else graph.item_pos
+    csr = graph.prop_user_pos if side == "user" else graph.prop_item_pos
     t = _edge_feat_full(graph, side, ctx["edge_time"])
     te = _time_encode(lp, t)  # [E, dt]
     num_dst = x_self.shape[0]
@@ -460,7 +461,7 @@ def _recency_full(lp, x_self, aggr, other_x, side, ctx):
     from ..ops.segment import segment_sum
 
     graph = ctx["graph"]
-    csr = graph.user_pos if side == "user" else graph.item_pos
+    csr = graph.prop_user_pos if side == "user" else graph.prop_item_pos
     num_dst = x_self.shape[0]
     rows = csr_row_ids(csr)
     if side == "user":

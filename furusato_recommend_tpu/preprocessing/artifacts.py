@@ -27,6 +27,13 @@ def write_artifacts(
     item_text_vecs=None,
     item_review_vec=None,  # scipy csr
     product_categories=None,  # [m_items, C] padded category ids (Diversity metric)
+    user_bert=None,  # [n_users, Db] DeBERTa embeddings ('b' flag, mrec.py:154-157)
+    item_bert=None,
+    buy_timestamp=None,  # (n_users x m_items) scipy sparse OR [E] raw-order array
+    user_attribute=None,  # [2, nnz] (user, attribute) COO (asage.py:55-79)
+    item_attribute=None,
+    favorite_edges=None,  # (u_arr, i_arr) favorite_train csv (rsage.py:168-187)
+    review_edges=None,
 ) -> None:
     base = Path(base_path)
     cb = base / "cb" / suffix if suffix else base / "cb"
@@ -59,3 +66,29 @@ def write_artifacts(
     save_pkl(tx, "product_review", item_review_vec)
     if product_categories is not None:
         save_np(cb, "product_categories", product_categories)
+
+    # -- round-2 artifact set: bert / edge timestamps / attributes / relations --
+    def save_pt(d, name, arr):
+        if arr is not None:
+            import torch
+
+            d.mkdir(parents=True, exist_ok=True)
+            torch.save(torch.as_tensor(np.asarray(arr)), d / f"{name}{suffix}.pt")
+
+    save_pt(tx, "customer_deberta_feature", user_bert)
+    save_pt(tx, "product_deberta_feature", item_bert)
+    if buy_timestamp is not None:
+        cf = base / "cf"
+        cf.mkdir(parents=True, exist_ok=True)
+        with open(cf / f"buy_timestamp{suffix}.pkl", "wb") as f:
+            pickle.dump(buy_timestamp, f)
+    save_pt(base / "attribute", "user_attribute", user_attribute)
+    save_pt(base / "attribute", "product_attribute", item_attribute)
+    for name, edges in (("favorite_train", favorite_edges), ("review_train", review_edges)):
+        if edges is not None:
+            import pandas as pd
+
+            u, i = edges
+            pd.DataFrame({"cf_customer": np.asarray(u), "cf_product": np.asarray(i)}).to_csv(
+                base / f"{name}{suffix}.csv", index=False
+            )

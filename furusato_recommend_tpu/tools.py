@@ -38,16 +38,10 @@ def _load_run(args):
     if args.data_path:
         config = config.replace(data_path=args.data_path)
     dataset = load_text_dataset(config)
-    model_kw = {}
-    if config.model not in ("mf", "lgn", "rgcn", "radj", "lgcnssm"):
-        from .data.features import load_reference_features
+    from .cli import build_model_inputs
 
-        model_kw["features"] = load_reference_features(config, config.data_path)
-        if config.model == "sasrec":
-            from .data.sequence import build_sequences
-
-            model_kw["sequences"] = build_sequences(dataset)
-    model = build_model(config.model, config, dataset.graph, **model_kw)
+    graph, model_kw = build_model_inputs(config, dataset)
+    model = build_model(config.model, config, graph, **model_kw)
     params = jax.tree_util.tree_map(jax.numpy.asarray, state["params"])
     return config, dataset, model, params
 
