@@ -29,7 +29,7 @@ import numpy as np
 from ..config import Config
 from ..data.dataset import Dataset
 from ..data.graph import BipartiteGraph
-from ..eval.metrics import batch_auc_sum, batch_metric_sums, coverage_from_hits, item_hits_update
+from ..eval.metrics import batch_auc_sum, batch_metric_sums
 from ..models.base import PairwiseModel, Params
 from ..ops.csr_search import csr_gather_padded
 
@@ -171,7 +171,7 @@ class Evaluator:
             return jnp.take_along_axis(ids, order[:, : self.kmax], axis=1)
 
         def step(carry, inp):
-            sums, cold_sums, hits = carry
+            sums, cold_sums = carry
             users, valid = inp
             if self.mesh is not None:
                 from ..eval.sharded import sharded_masked_topk
@@ -232,8 +232,7 @@ class Evaluator:
                         (len(self.topks),),
                     )
                 cold_sums = jax.tree_util.tree_map(jnp.add, cold_sums, cb)
-            hits = item_hits_update(hits, topk, valid, self.kmax)
-            return (sums, cold_sums, hits), topk
+            return (sums, cold_sums), topk
 
         nk = len(self.topks)
         zero_sums = {
@@ -250,45 +249,52 @@ class Evaluator:
             zero_sums["novelty"] = jnp.zeros(nk)
         if self.config.compute_auc:
             zero_sums["auc"] = jnp.zeros(nk)
-        hits0 = jnp.zeros((m,), dtype=jnp.int32)
-        (sums, cold_sums, hits), topks = jax.lax.scan(
-            step, (zero_sums, zero_sums, hits0), (data.users, data.valid)
+        (sums, cold_sums), topks = jax.lax.scan(
+            step, (zero_sums, zero_sums), (data.users, data.valid)
         )
-        return sums, cold_sums, hits, topks
+        return sums, cold_sums, topks
 
     def __call__(
-        self, params: Params, data: EvalData, bound=None
+        self, params: Params, data: EvalData, bound=None, pmi: Optional[np.ndarray] = None
     ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
         """Returns (results, topk_ids [n_test_users_padded, Kmax]).
 
         results keys: {metric}@{k} floats + 'coverage@{k}' + (cold_* if enabled).
         bound: pre-placed model-held device data (Trainer passes its replicated
         copy under a mesh); default re-reads model.data_to_bind().
+        pmi: optional [M, M] PMI matrix — enables the REAL unexpectedness
+        (mean PMI between each user's train positives and recommendations,
+        the computation `/root/reference/metric.py:127-140` stubs out);
+        without it the reference's stub value is reproduced.
         """
         if bound is None:
             bound = self.model.data_to_bind()
-        sums, cold_sums, hits, topks = self._run(self.graph, params, data, bound)
+        sums, cold_sums, topks = self._run(self.graph, params, data, bound)
         sums = jax.device_get(sums)
-        hits = np.asarray(jax.device_get(hits))
         n = float(sums.pop("count"))
         results: Dict[str, float] = {}
         for name, vals in sums.items():
             for i, k in enumerate(self.topks):
                 results[f"{name}@{k}"] = float(vals[i]) / max(n, 1.0)
-        # corpus-level metrics
-        for k in self.topks:
-            # coverage computed at kmax granularity per scan; recompute per-k from
-            # stored topk ids for exactness
-            results[f"coverage@{k}"] = 0.0
+        # corpus-level coverage, exact per-k from the stored topk ids
         topks_np = np.asarray(jax.device_get(topks)).reshape(-1, self.kmax)
         valid_np = np.asarray(jax.device_get(data.valid)).reshape(-1)
+        users_np = np.asarray(jax.device_get(data.users)).reshape(-1)[valid_np]
         shown = topks_np[valid_np]
         for k in self.topks:
             results[f"coverage@{k}"] = len(np.unique(shown[:, :k])) / self.model.m_items
-        # reference parity: Unexpectedness is stubbed to 1 then divided by #users
-        # (/root/reference/metric.py:127-128, trainer.py:176-177)
-        for k in self.topks:
-            results[f"unexpectedness@{k}"] = 1.0 / max(n, 1.0)
+        if pmi is not None:
+            from .metrics import unexpectedness_from_pmi
+
+            for k in self.topks:
+                results[f"unexpectedness@{k}"] = unexpectedness_from_pmi(
+                    self.graph, users_np, shown[:, :k], pmi
+                )
+        else:
+            # reference parity: Unexpectedness stubbed to 1 then divided by
+            # #users (/root/reference/metric.py:127-128, trainer.py:176-177)
+            for k in self.topks:
+                results[f"unexpectedness@{k}"] = 1.0 / max(n, 1.0)
         if self.config.cold_start:
             cold_sums = jax.device_get(cold_sums)
             cn = float(cold_sums.pop("count"))

@@ -17,9 +17,10 @@ tests/test_metrics.py):
 - Coverage@K: fraction of catalog recommended (`/root/reference/metric.py:142-147`)
   — corpus-level, accumulated across batches via a scatter into an item-hit vector.
 - Unexpectedness: the reference stubs this to ``return 1``
-  (`/root/reference/metric.py:127-140`); we keep the stub value for parity and
-  additionally ship the real PMI computation behind ``pmi=`` for when a PMI matrix
-  is available.
+  (`/root/reference/metric.py:127-140`); the stub value is reproduced by default
+  and the real PMI computation ships as ``unexpectedness_from_pmi`` (wired behind
+  ``Evaluator(...)(..., pmi=...)``) with ``pmi_from_cooccurrence`` to build the
+  matrix from train interactions.
 """
 
 from __future__ import annotations
@@ -27,11 +28,17 @@ from __future__ import annotations
 from typing import Dict, Optional, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.graph import CSR
 from ..ops.csr_search import csr_contains
 
-__all__ = ["batch_metric_sums", "coverage_from_hits", "item_hits_update"]
+__all__ = [
+    "batch_metric_sums",
+    "batch_auc_sum",
+    "pmi_from_cooccurrence",
+    "unexpectedness_from_pmi",
+]
 
 
 def _hit_matrix(
@@ -162,13 +169,44 @@ def batch_auc_sum(
     return jnp.sum(jnp.where(ok, auc, 0.0))
 
 
-def item_hits_update(hits: jnp.ndarray, topk_ids: jnp.ndarray, valid: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Accumulate which items appeared in any valid user's top-k (for Coverage)."""
-    ids = topk_ids[:, :k]
-    upd = jnp.where(valid[:, None], jnp.ones_like(ids, dtype=hits.dtype), 0)
-    return hits.at[ids].max(upd)
+def pmi_from_cooccurrence(train_user: np.ndarray, train_item: np.ndarray, m_items: int) -> np.ndarray:
+    """[M, M] pointwise mutual information between items from train
+    co-occurrence within users: pmi(i, j) = log(p(i, j) / (p(i) p(j))) over the
+    per-user item baskets (the matrix the reference's dead Unexpectedness code
+    expects as ``pmi``, `/root/reference/metric.py:127-140`). Host-side numpy;
+    O(M^2) memory — intended for offline analysis, not the training loop."""
+    import scipy.sparse as sp
+
+    n_users = int(train_user.max()) + 1 if len(train_user) else 1
+    B = sp.csr_matrix(
+        (np.ones(len(train_user), np.float64), (train_user, train_item)),
+        shape=(n_users, m_items),
+    )
+    B.data[:] = 1.0  # binary baskets
+    co = np.asarray((B.T @ B).todense())  # [M, M] co-occurrence counts
+    p_i = np.maximum(co.diagonal(), 1e-12) / n_users
+    p_ij = co / n_users
+    with np.errstate(divide="ignore"):
+        pmi = np.log(np.maximum(p_ij, 1e-12) / (p_i[:, None] * p_i[None, :]))
+    pmi[p_ij == 0] = 0.0
+    return pmi.astype(np.float32)
 
 
-def coverage_from_hits(hits: jnp.ndarray) -> jnp.ndarray:
-    """|recommended items| / m_items (`Coverage`, /root/reference/metric.py:142-147)."""
-    return jnp.mean(hits.astype(jnp.float32))
+def unexpectedness_from_pmi(
+    graph, users: np.ndarray, topk: np.ndarray, pmi: np.ndarray
+) -> float:
+    """Mean over users of the mean PMI between the user's train positives and
+    their recommendations (the real computation behind the reference's stub,
+    `/root/reference/metric.py:129-140`: cartesian(history, recs) -> mean pmi).
+    Lower = recommendations less co-occurring with history = more unexpected."""
+    indptr = np.asarray(graph.user_pos.indptr)
+    indices = np.asarray(graph.user_pos.indices)
+    total = 0.0
+    cnt = 0
+    for row, u in enumerate(users):
+        hist = indices[indptr[u] : indptr[u + 1]]
+        if len(hist) == 0:
+            continue
+        total += float(np.mean(pmi[np.ix_(hist, topk[row])]))
+        cnt += 1
+    return total / max(cnt, 1)

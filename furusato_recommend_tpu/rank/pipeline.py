@@ -63,6 +63,30 @@ def dump_candidates(
     return out
 
 
+def _dedup_rows(cand: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Per-row first-occurrence dedup mask, fully vectorized: a stable argsort
+    groups equal values, duplicates after the first are invalidated; invalid
+    slots are forced unique so they never collide with real entries."""
+    n, w = cand.shape
+    keyed = np.where(valid, cand, cand.max(initial=0) + 1 + np.arange(w)[None, :])
+    order = np.argsort(keyed, axis=1, kind="stable")
+    svals = np.take_along_axis(keyed, order, axis=1)
+    dup_sorted = np.zeros_like(svals, dtype=bool)
+    dup_sorted[:, 1:] = svals[:, 1:] == svals[:, :-1]
+    dup = np.empty_like(dup_sorted)
+    np.put_along_axis(dup, order, dup_sorted, axis=1)
+    return valid & ~dup
+
+
+def _compact_rows(keep: np.ndarray, *arrays, width: int):
+    """Move kept entries to the front of each row (order-preserving), truncate
+    to ``width``. Returns (mask, compacted arrays...)."""
+    order = np.argsort(~keep, axis=1, kind="stable")[:, :width]
+    kept = np.take_along_axis(keep, order, axis=1)
+    outs = [np.take_along_axis(a, order, axis=1) for a in arrays]
+    return kept, outs
+
+
 def build_rank_groups(
     dataset: Dataset,
     candidates: Sequence[np.ndarray],  # one [n_users, k] per retriever
@@ -72,42 +96,53 @@ def build_rank_groups(
 ) -> RankGroups:
     """Labeled per-user groups from the candidate union
     (train_lgbm.py:102-130): candidates get label 0 unless they hit the
-    held-out set; true train interactions are added with label 1."""
-    ap = dataset.all_pos()
-    n = dataset.n_users
-    users, items, labels, mask = [], [], [], []
+    held-out set; true train interactions are added with label 1.
+
+    Vectorized numpy end to end (no per-user Python loops — the reference-scale
+    10^5-10^6 users made the loop version quadratic pain, round-1 verdict #9)."""
+    n, m = dataset.n_users, dataset.m_items
     C = max_candidates
-    for u in range(n):
-        cand: List[int] = []
-        seen = set()
-        for c in candidates:
-            for it in c[u]:
-                it = int(it)
-                if it not in seen:
-                    seen.add(it)
-                    cand.append(it)
-        hold = set(int(x) for x in holdout.get(u, ()))
-        lab = [1.0 if it in hold else 0.0 for it in cand]
-        if include_train_positives:
-            for it in ap[u]:
-                it = int(it)
-                if it not in seen:
-                    seen.add(it)
-                    cand.append(it)
-                    lab.append(1.0)
-        if not cand or not any(lab):
-            continue  # groups without any relevant item carry no pairwise signal
-        cand, lab = cand[:C], lab[:C]
-        pad = C - len(cand)
-        users.append(u)
-        items.append(cand + [0] * pad)
-        labels.append(lab + [0.0] * pad)
-        mask.append([True] * len(cand) + [False] * pad)
+    cand = np.concatenate([np.asarray(c, np.int64) for c in candidates], axis=1)
+    valid = np.ones_like(cand, dtype=bool)
+
+    if include_train_positives:
+        # padded per-user train positives appended after the candidate union
+        deg = np.bincount(dataset.train_user, minlength=n)
+        D = int(deg.max(initial=0))
+        pos_pad = np.zeros((n, D), np.int64)
+        pos_valid = np.arange(D)[None, :] < deg[:, None]
+        order = np.argsort(dataset.train_user, kind="stable")
+        cols = (np.arange(len(order)) - np.repeat(np.cumsum(deg) - deg, deg)).astype(int)
+        pos_pad[dataset.train_user[order], cols] = dataset.train_item[order]
+        cand = np.concatenate([cand, pos_pad], axis=1)
+        valid = np.concatenate([valid, pos_valid], axis=1)
+
+    keep = _dedup_rows(cand, valid)
+
+    # labels: holdout membership for the candidate part (flat (u, item) keys),
+    # 1.0 for the appended train positives
+    k_cand = sum(c.shape[1] for c in candidates)
+    labels = np.zeros_like(cand, dtype=np.float32)
+    if holdout:
+        hold_keys = np.sort(
+            np.concatenate(
+                [np.int64(u) * m + np.asarray(v, np.int64) for u, v in holdout.items()]
+            )
+        )
+        cand_keys = np.arange(n, dtype=np.int64)[:, None] * m + cand[:, :k_cand]
+        labels[:, :k_cand] = np.isin(cand_keys, hold_keys, assume_unique=False)
+    if include_train_positives:
+        labels[:, k_cand:] = 1.0
+
+    kept, (items, labels) = _compact_rows(keep, cand, labels, width=C)
+    labels = np.where(kept, labels, 0.0)
+    # groups without any relevant item carry no pairwise signal
+    rows = (labels.sum(axis=1) > 0) & kept.any(axis=1)
     return RankGroups(
-        users=jnp.asarray(users, jnp.int32),
-        items=jnp.asarray(items, jnp.int32),
-        labels=jnp.asarray(labels, jnp.float32),
-        mask=jnp.asarray(mask),
+        users=jnp.asarray(np.nonzero(rows)[0], jnp.int32),
+        items=jnp.asarray(np.where(kept, items, 0)[rows], jnp.int32),
+        labels=jnp.asarray(labels[rows], jnp.float32),
+        mask=jnp.asarray(kept[rows]),
     )
 
 
@@ -121,34 +156,34 @@ def rerank_eval(
     max_candidates: int = 160,
 ) -> Dict[str, float]:
     """End-to-end second-stage eval: union candidates -> rank -> top-k recall
-    (eval_lgbm.py:67-117 protocol)."""
-    n = dataset.n_users
-    users = sorted(eval_dict.keys())
+    (eval_lgbm.py:67-117 protocol). Vectorized; padded candidate slots are
+    masked out of the ranking instead of repeating candidate 0 (the round-1
+    double-counting fix)."""
+    m = dataset.m_items
+    users = np.asarray(sorted(eval_dict.keys()), np.int64)
     C = max_candidates
-    cand_mat = np.zeros((len(users), C), np.int32)
-    for row, u in enumerate(users):
-        cand: List[int] = []
-        seen = set()
-        for c in candidates:
-            for it in c[u]:
-                it = int(it)
-                if it not in seen:
-                    seen.add(it)
-                    cand.append(it)
-        cand = cand[:C]
-        cand_mat[row, : len(cand)] = cand
-        if len(cand) < C:  # pad by repeating the first candidate
-            cand_mat[row, len(cand) :] = cand[0] if cand else 0
+    cand = np.concatenate([np.asarray(c, np.int64)[users] for c in candidates], axis=1)
+    keep = _dedup_rows(cand, np.ones_like(cand, dtype=bool))
+    kept, (cand_mat,) = _compact_rows(keep, cand, width=C)
     top = np.asarray(
-        ranker.rank(params, jnp.asarray(users, jnp.int32), jnp.asarray(cand_mat), k=k)
+        ranker.rank(
+            params,
+            jnp.asarray(users, jnp.int32),
+            jnp.asarray(np.where(kept, cand_mat, 0), jnp.int32),
+            k=k,
+            mask=jnp.asarray(kept),
+        )
+    )  # [U, k]; -1 where fewer than k valid candidates
+    gt_lens = np.asarray([len(eval_dict[int(u)]) for u in users], np.float64)
+    gt_keys = np.sort(
+        np.concatenate(
+            [np.int64(u) * m + np.asarray(eval_dict[int(u)], np.int64) for u in users]
+        )
     )
-    recall = hits = 0.0
-    for row, u in enumerate(users):
-        gt = set(int(x) for x in eval_dict[u])
-        got = len(gt & set(top[row].tolist()))
-        recall += got / max(len(gt), 1)
-        hits += 1.0 if got else 0.0
+    top_keys = np.where(top >= 0, users[:, None] * m + top, -1)
+    hit = np.isin(top_keys, gt_keys) & (top >= 0)
+    got = hit.sum(axis=1)
     return {
-        f"rerank_recall@{k}": recall / len(users),
-        f"rerank_hr@{k}": hits / len(users),
+        f"rerank_recall@{k}": float(np.mean(got / np.maximum(gt_lens, 1.0))),
+        f"rerank_hr@{k}": float(np.mean(got > 0)),
     }

@@ -153,9 +153,18 @@ class NeuralRanker:
                 print(f"[ranker] epoch {e} loss {float(loss):.5f}")
         return params
 
-    def rank(self, params, users: jnp.ndarray, cand_items: jnp.ndarray, k: int = 10):
+    def rank(self, params, users: jnp.ndarray, cand_items: jnp.ndarray, k: int = 10, mask=None):
         """Per-user re-rank: [U], [U, C] -> top-k item ids [U, k]
-        (eval_lgbm.py:67-117 protocol: predict, sort, take 10)."""
+        (eval_lgbm.py:67-117 protocol: predict, sort, take 10).
+
+        mask: optional [U, C] bool; False slots rank last and return id -1,
+        so padded candidate rows cannot be double-counted."""
         s = self.score(params, users[:, None], cand_items)
+        if mask is not None:
+            s = jnp.where(mask, s, -jnp.inf)
         order = jnp.argsort(-s, axis=1)[:, :k]
-        return jnp.take_along_axis(cand_items, order, axis=1)
+        ids = jnp.take_along_axis(cand_items, order, axis=1)
+        if mask is not None:
+            ok = jnp.take_along_axis(mask, order, axis=1)
+            ids = jnp.where(ok, ids, -1)
+        return ids

@@ -107,3 +107,57 @@ def test_metric_padding_rows_excluded():
     )
     np.testing.assert_allclose(float(got["recall"][0]), float(got_valid_only["recall"][0]), rtol=1e-6)
     assert float(got["count"]) == 4
+
+
+def test_pmi_unexpectedness():
+    """Real PMI unexpectedness (the computation the reference stubs,
+    metric.py:127-140): recommending items that co-occur with the user's
+    history scores higher mean PMI than recommending never-co-occurring items."""
+    import numpy as np
+
+    from furusato_recommend_tpu.data import synthetic_dataset
+    from furusato_recommend_tpu.eval.metrics import (
+        pmi_from_cooccurrence,
+        unexpectedness_from_pmi,
+    )
+
+    ds = synthetic_dataset(n_users=60, m_items=40, avg_degree=8, seed=2)
+    pmi = pmi_from_cooccurrence(ds.train_user, ds.train_item, ds.m_items)
+    assert pmi.shape == (40, 40)
+    g = ds.graph
+    users = np.arange(20)
+    ap = ds.all_pos()
+    # expected recs: each user's own history (max co-occurrence)
+    co_rec = np.stack([np.resize(ap[u], 5) for u in users])
+    rng = np.random.default_rng(0)
+    rand_rec = rng.integers(0, 40, (20, 5))
+    u_co = unexpectedness_from_pmi(g, users, co_rec, pmi)
+    u_rand = unexpectedness_from_pmi(g, users, rand_rec, pmi)
+    assert np.isfinite(u_co) and np.isfinite(u_rand)
+    assert u_co > u_rand  # own-history recs co-occur maximally
+
+
+def test_evaluator_pmi_hook():
+    """Evaluator(..., pmi=...) replaces the parity stub with the real metric."""
+    import jax
+    import numpy as np
+
+    from furusato_recommend_tpu.config import Config
+    from furusato_recommend_tpu.data import synthetic_dataset
+    from furusato_recommend_tpu.eval.evaluate import Evaluator, build_eval_data
+    from furusato_recommend_tpu.eval.metrics import pmi_from_cooccurrence
+    from furusato_recommend_tpu.models.registry import build_model
+
+    ds = synthetic_dataset(n_users=48, m_items=64, avg_degree=6, seed=1)
+    cfg = Config(model="mf", latent_dim=8, eval_user_batch=16, topks=(5, 10))
+    model = build_model("mf", cfg, ds.graph)
+    params = model.init(jax.random.PRNGKey(0))
+    ev = Evaluator(model, ds.graph, cfg, max_train_degree=ds.graph.max_user_degree)
+    data = build_eval_data(ds, 16)
+    pmi = pmi_from_cooccurrence(ds.train_user, ds.train_item, ds.m_items)
+    res_stub, _ = ev(params, data)
+    res_pmi, _ = ev(params, data, pmi=pmi)
+    n = len(np.unique(ds.test_user))
+    assert abs(res_stub["unexpectedness@5"] - 1.0 / n) < 1e-9
+    assert res_pmi["unexpectedness@5"] != res_stub["unexpectedness@5"]
+    assert np.isfinite(res_pmi["unexpectedness@10"])

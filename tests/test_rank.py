@@ -92,3 +92,25 @@ def test_rank_groups_labels(rank_setup):
     for c in range(mask[g0].sum()):
         if items[g0, c] in ap[u]:
             assert lab[g0, c] == 1.0
+
+
+def test_rerank_no_candidate_double_count():
+    """Round-1 defect: users with fewer candidates than max_candidates had the
+    pad filled by repeating candidate 0, which could double-count it in top-k.
+    Padded slots must now be masked out (id -1)."""
+    import jax
+
+    ds = synthetic_dataset(n_users=30, m_items=50, avg_degree=6, seed=4)
+    cfg = Config(model="mf", latent_dim=8, user_feature="nc", item_feature="nc")
+    feats = synthetic_features(ds, cfg, seed=2)
+    ranker = NeuralRanker(feats)
+    params = ranker.init(jax.random.PRNGKey(0))
+    # 3 candidates per user but max_candidates=8: 5 padded slots per row
+    rng = np.random.default_rng(0)
+    cands = [rng.integers(0, 50, (30, 3)).astype(np.int32)]
+    eval_dict = {u: np.asarray([int(cands[0][u][0])]) for u in range(30)}
+    res = rerank_eval(ranker, params, ds, cands, eval_dict, k=5, max_candidates=8)
+    # every user's single gt is candidate 0 -> with <=3 real candidates and
+    # k=5, the gt is always within the ranked real candidates
+    assert res["rerank_recall@5"] == 1.0
+    assert res["rerank_hr@5"] == 1.0
