@@ -119,6 +119,7 @@ class Config:
 
     # --- TPU-native knobs (no reference counterpart) ---
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    ckpt_backend: str = "npz"  # "npz" (single file) | "orbax" (pickle-free dir)
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     neg_candidates: int = 4  # bounded rejection width; P(all positive) <= (max_deg/m)^4
@@ -150,6 +151,8 @@ class Config:
             raise ValueError("topks must be non-empty")
         if self.loss_fn not in ("bpr", "infonce"):
             raise ValueError(f"loss_fn must be 'bpr' or 'infonce', got {self.loss_fn!r}")
+        if self.ckpt_backend not in ("npz", "orbax"):
+            raise ValueError(f"ckpt_backend must be 'npz' or 'orbax', got {self.ckpt_backend!r}")
 
     # -- convenience --
     @property

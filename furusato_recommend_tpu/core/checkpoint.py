@@ -4,7 +4,11 @@ Improves on the reference's ``torch.save(state_dict)``-only checkpoints
 (`/root/reference/trainer.py:219-234`), which lose optimizer moments, RNG, and the
 step counter on resume (SURVEY.md §5.4): here a checkpoint is the full training
 state — params + optax state + PRNG key + step + best-metric + config JSON —
-serialized as an .npz of leaves plus a pickled treedef, fully host-portable.
+serialized either as an .npz of leaves plus a pickled treedef (``backend="npz"``,
+single portable file) or through **orbax** (``backend="orbax"``, a checkpoint
+directory: pickle-free, safe to load from untrusted sources, stable across
+jax/optax versions — SURVEY.md §5.3/5.4 rebuild goal). ``load_checkpoint``
+auto-detects the backend from the path (directory = orbax).
 
 Path-scheme parity with the reference
 (``{path}/{model}/{recdim}_{layer}_{suffix}_{run}.ckpt``) is provided by
@@ -25,7 +29,7 @@ import numpy as np
 
 from ..config import Config
 
-__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_path"]
+__all__ = ["save_checkpoint", "load_checkpoint", "checkpoint_path", "restructure"]
 
 
 def checkpoint_path(config: Config, run_name: str = "") -> Path:
@@ -40,7 +44,16 @@ def checkpoint_path(config: Config, run_name: str = "") -> Path:
     return base / name
 
 
-def save_checkpoint(path: str | Path, state: Dict[str, Any], config: Optional[Config] = None) -> None:
+def save_checkpoint(
+    path: str | Path,
+    state: Dict[str, Any],
+    config: Optional[Config] = None,
+    backend: str = "npz",
+) -> None:
+    if backend == "orbax":
+        return _save_orbax(path, state, config)
+    if backend != "npz":
+        raise ValueError(f"unknown checkpoint backend {backend!r} (npz | orbax)")
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     leaves, treedef = jax.tree_util.tree_flatten(state)
@@ -58,7 +71,48 @@ def save_checkpoint(path: str | Path, state: Dict[str, Any], config: Optional[Co
     tmp.rename(path)  # atomic — preemption-safe (SURVEY.md §5.3 rebuild goal)
 
 
+def _save_orbax(path, state, config) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path) if path.is_dir() else path.unlink()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    host_state = jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), state)
+    ocp.PyTreeCheckpointer().save(path, host_state)  # atomic: tmp dir + rename
+    if config is not None:
+        (path / "framework_config.json").write_text(config.to_json())
+
+
+def restructure(template, raw):
+    """Re-impose a pytree structure (e.g. optax NamedTuple states) onto an
+    orbax-restored plain-container tree. Relies on leaf-order isomorphism:
+    orbax restores NamedTuples as dicts whose alphabetical key order matches
+    the field order for optax's states (count/mu/nu) — verified by the
+    orbax round-trip + resume tests."""
+    t_leaves, t_def = jax.tree_util.tree_flatten(template)
+    r_leaves = jax.tree_util.tree_leaves(raw)
+    if len(t_leaves) != len(r_leaves):
+        raise ValueError(
+            f"restructure: template has {len(t_leaves)} leaves, raw has {len(r_leaves)}"
+        )
+    return jax.tree_util.tree_unflatten(t_def, r_leaves)
+
+
 def load_checkpoint(path: str | Path) -> Dict[str, Any]:
+    path = Path(path)
+    if path.is_dir():  # orbax backend
+        import orbax.checkpoint as ocp
+
+        cfg_file = path / "framework_config.json"
+        cfg_json = cfg_file.read_text() if cfg_file.exists() else None
+        state = ocp.PyTreeCheckpointer().restore(str(path.absolute()))
+        state.pop("framework_config", None)
+        if cfg_json:
+            state["__config__"] = json.loads(cfg_json)
+        return state
     with open(path, "rb") as f:
         payload = pickle.load(f)
     treedef = pickle.loads(payload["treedef"])

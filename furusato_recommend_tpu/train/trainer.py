@@ -302,17 +302,25 @@ class Trainer:
             "key": self._key,
             "max_recall": jnp.asarray(self.max_recall),
         }
-        save_checkpoint(path or checkpoint_path(self.config), state, self.config)
+        save_checkpoint(
+            path or checkpoint_path(self.config),
+            state,
+            self.config,
+            backend=self.config.ckpt_backend,
+        )
 
     def restore(self, path=None):
         """Resume full training state — params, optimizer moments, PRNG stream,
         step counter, best-metric — fixing the reference's lossy resume
         (torch.save(state_dict) only, SURVEY.md §5.4)."""
-        from ..core.checkpoint import load_checkpoint
+        from ..core.checkpoint import load_checkpoint, restructure
 
         state = load_checkpoint(path or checkpoint_path(self.config))
         params = jax.tree_util.tree_map(jnp.asarray, state["params"])
-        opt_state = jax.tree_util.tree_map(jnp.asarray, state["opt_state"])
+        # the orbax backend restores optax NamedTuple states as plain
+        # containers; re-impose the optimizer's structure (no-op for npz)
+        opt_state = restructure(self.optimizer.init(params), state["opt_state"])
+        opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
         if self.mesh is not None:
             # adam moments mirror param shapes -> same row-sharding rule applies
             params = shard_params(params, self.mesh)

@@ -184,12 +184,17 @@ def test_ddp_recipe_trainer(tiny_dataset):
     assert r1["recall@10"] > r0["recall@10"]
 
 
-def test_trainer_resume(tmp_path, tiny_dataset):
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_trainer_resume(tmp_path, tiny_dataset, backend):
     """Deterministic resume: save mid-training, restore, continue — equals an
-    uninterrupted run (full state incl. Adam moments + PRNG)."""
+    uninterrupted run (full state incl. Adam moments + PRNG), on both the npz
+    and the pickle-free orbax checkpoint backends (round-1 verdict #8)."""
     def make():
         cfg = Config(model="mf", latent_dim=16, bpr_batch_size=256, lr=0.05,
-                     eval_user_batch=64, topks=(5, 10))
+                     eval_user_batch=64, topks=(5, 10), ckpt_backend=backend)
         model = build_model("mf", cfg, tiny_dataset.graph)
         return Trainer(cfg, tiny_dataset, model)
 
