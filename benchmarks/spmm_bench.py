@@ -52,21 +52,28 @@ def log(**kw):
 
 
 def gather_bench(n_rows, n_idx, rng):
+    """Materialized gather y = x[idx] (write cost included — XLA collapses any
+    linear reduction of a gather into a histogram contraction, so reductions
+    measure nothing). A same-shape streaming copy isolates the write side."""
     idx = jnp.asarray(rng.integers(0, n_rows, n_idx).astype(np.int32))
-    for d in (64, 128, 256):
+    for d in (64, 128):
         for dtype, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "f32"), (jnp.int8, "int8")):
             x = jnp.asarray(rng.standard_normal((n_rows, d)), dtype=jnp.float32).astype(dtype)
+            big = jnp.zeros((n_idx, d), dtype)
 
-            f = jax.jit(lambda x, i: jnp.sum(x[i].astype(jnp.float32), axis=0))
-            dt = timeit(f, x, idx)
-            bytes_moved = n_idx * d * x.dtype.itemsize
+            copy = jax.jit(lambda b: b + b)
+            dt_copy = timeit(copy, big)
+            gat = jax.jit(lambda x, i: x[i])
+            dt = timeit(gat, x, idx)
+            bytes_row = n_idx * d * x.dtype.itemsize
             log(
                 bench="gather",
                 d=d,
                 dtype=name,
-                ms=round(dt * 1e3, 3),
+                gather_ms=round(dt * 1e3, 3),
+                copy_ms=round(dt_copy * 1e3, 3),
                 ns_per_row=round(dt / n_idx * 1e9, 3),
-                eff_gbps=round(bytes_moved / dt / 1e9, 2),
+                eff_gbps_rw=round(2 * bytes_row / dt / 1e9, 2),
             )
 
 

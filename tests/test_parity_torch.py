@@ -117,3 +117,188 @@ def test_quality_parity(model_name):
     # and both actually learned (MF under the reference's N(0,1) init converges
     # slowly at 12 epochs; LightGCN's std=0.1 init reaches ~0.3)
     assert ours_m > 0.05 and theirs_m > 0.05, (ours, theirs)
+
+
+# ---------------------------------------------------------------------------
+# Flagship parity: clean-room torch TextSAGE (structure of the reference DDP
+# flagship, /root/reference/ddp.py:355-560: n/w/t feature projections, mean-
+# aggregation conv W[cat(self, aggr)], BPR + whole-param L2, fanout-tree train
+# + full-graph mean inference).
+# ---------------------------------------------------------------------------
+
+
+def _np_feats(feats):
+    import numpy as _np
+
+    return {
+        "numeric": _np.asarray(feats.numeric, _np.float32),
+        "w2v": _np.asarray(feats.word2vec, _np.float32),
+        "text": _np.asarray(feats.text),  # [N, 3, W] -1-padded word ids
+    }
+
+
+class _TorchTextSAGE(torch.nn.Module):
+    def __init__(self, uf, itf, dim, vocab, seed):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.dim, self.wd = dim, dim // 2
+        self.word_emb = torch.nn.Embedding(vocab, self.wd)
+        torch.nn.init.xavier_uniform_(self.word_emb.weight)
+        in_u = dim + 3 * self.wd + uf["w2v"].shape[1]
+        in_i = dim + 3 * self.wd + itf["w2v"].shape[1]
+        self.un = torch.nn.Linear(uf["numeric"].shape[1], dim)
+        self.itn = torch.nn.Linear(itf["numeric"].shape[1], dim)
+        self.uproj = torch.nn.Linear(in_u, dim)
+        self.iproj = torch.nn.Linear(in_i, dim)
+        self.ws = torch.nn.ModuleList(
+            [torch.nn.Linear(2 * dim, dim) for _ in range(2)]
+        )
+        gain = torch.nn.init.calculate_gain("relu")
+        for lin in [self.un, self.itn, self.uproj, self.iproj]:
+            torch.nn.init.xavier_uniform_(lin.weight)
+            torch.nn.init.zeros_(lin.bias)
+        for i, w in enumerate(self.ws):
+            torch.nn.init.xavier_uniform_(w.weight, gain=1.0 if i == 1 else gain)
+            torch.nn.init.zeros_(w.bias)
+        self.uf, self.itf = uf, itf
+
+    def _text(self, feats, ids):
+        t = torch.from_numpy(feats["text"][ids])  # [B, 3, W]
+        mask = (t >= 0).float().unsqueeze(-1)
+        emb = self.word_emb(t.clamp(min=0).long()) * mask
+        bags = emb.sum(-2) / mask.sum(-2).clamp(min=1.0)  # [B, 3, wd]
+        return bags.reshape(len(ids), -1)
+
+    def initial(self, side, ids):
+        f = self.uf if side == "user" else self.itf
+        lin = self.un if side == "user" else self.itn
+        proj = self.uproj if side == "user" else self.iproj
+        parts = [
+            lin(torch.from_numpy(f["numeric"][ids])),
+            self._text(f, ids),
+            torch.from_numpy(f["w2v"][ids]),
+        ]
+        return proj(torch.cat(parts, dim=1))
+
+
+def _torch_textsage_recall(ds, feats_u, feats_i, vocab, epochs, dim, lr, seed=0):
+    rng = np.random.default_rng(seed)
+    model = _TorchTextSAGE(feats_u, feats_i, dim, vocab, seed)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    g = ds.graph
+    up_ptr = np.asarray(g.user_pos.indptr, np.int64)
+    up_idx = np.asarray(g.user_pos.indices, np.int64)
+    ip_ptr = np.asarray(g.item_pos.indptr, np.int64)
+    ip_idx = np.asarray(g.item_pos.indices, np.int64)
+    n, m = ds.n_users, ds.m_items
+    F, L, bs = 3, 2, 128
+
+    def fanout(ptr, idx, nodes):
+        deg = ptr[nodes + 1] - ptr[nodes]
+        r = rng.integers(0, 1 << 30, (len(nodes), F)) % np.maximum(deg, 1)[:, None]
+        out = idx[np.clip(ptr[nodes][:, None] + r, 0, len(idx) - 1)]
+        return out, deg > 0
+
+    def encode(seeds, side):
+        sides = [side]
+        for _ in range(L):
+            sides.append("item" if sides[-1] == "user" else "user")
+        levels, valids = [seeds], [None]
+        for l in range(L):
+            ptr, idx = (up_ptr, up_idx) if sides[l] == "user" else (ip_ptr, ip_idx)
+            flat = levels[-1].reshape(-1)
+            nbr, has = fanout(ptr, idx, flat)
+            levels.append(nbr.reshape(levels[-1].shape + (F,)))
+            valids.append(has.reshape(levels[-2].shape))
+        xs = [model.initial(sides[i], lvl.reshape(-1)).reshape(lvl.shape + (-1,))
+              for i, lvl in enumerate(levels)]
+        for i in range(L):
+            new_xs = []
+            for lvl in range(L - i):
+                aggr = xs[lvl + 1].mean(dim=-2)
+                aggr = aggr * torch.from_numpy(valids[lvl + 1]).float().reshape(
+                    aggr.shape[:-1] + (1,)
+                )
+                h = model.ws[i](torch.cat([xs[lvl], aggr], dim=-1))
+                if i != L - 1:
+                    h = h.relu()
+                new_xs.append(h)
+            xs = new_xs
+        return xs[0]
+
+    for ep in range(epochs):
+        from furusato_recommend_tpu.preprocessing.native import bpr_sample_cpu
+
+        u, p, ng = bpr_sample_cpu(up_ptr, up_idx, n, m, ds.train_size, seed=seed * 997 + ep)
+        for lo in range(0, len(u), bs):
+            ue = encode(u[lo : lo + bs], "user")
+            pe = encode(p[lo : lo + bs], "item")
+            ne = encode(ng[lo : lo + bs], "item")
+            loss = torch.nn.functional.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
+            reg = sum(0.5 * (q**2).sum() for q in model.parameters()) / len(ue)
+            loss = loss + 1e-6 * reg
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+    # full-graph mean inference (reference getUsersRating shape, ddp.py:628-671)
+    with torch.no_grad():
+        ux = model.initial("user", np.arange(n))
+        ix = model.initial("item", np.arange(m))
+        for i in range(L):
+            deg_u = np.maximum(up_ptr[1:] - up_ptr[:-1], 1)
+            deg_i = np.maximum(ip_ptr[1:] - ip_ptr[:-1], 1)
+            ua = torch.zeros_like(ux).index_add_(0, torch.from_numpy(
+                np.repeat(np.arange(n), up_ptr[1:] - up_ptr[:-1])), ix[up_idx]
+            ) / torch.from_numpy(deg_u).float().unsqueeze(1)
+            ia = torch.zeros_like(ix).index_add_(0, torch.from_numpy(
+                np.repeat(np.arange(m), ip_ptr[1:] - ip_ptr[:-1])), ux[ip_idx]
+            ) / torch.from_numpy(deg_i).float().unsqueeze(1)
+            nu = model.ws[i](torch.cat([ux, ua], dim=1))
+            ni = model.ws[i](torch.cat([ix, ia], dim=1))
+            if i != L - 1:
+                nu, ni = nu.relu(), ni.relu()
+            ux, ix = nu, ni
+        scores = (ux @ ix.T).numpy()
+    ap, td = ds.all_pos(), ds.test_dict()
+    recall = 0.0
+    users = sorted(td.keys())
+    for uu in users:
+        s = scores[uu].copy()
+        s[ap[uu]] = -np.inf
+        top = np.argpartition(-s, 10)[:10]
+        recall += len(set(top.tolist()) & set(td[uu].tolist())) / len(td[uu])
+    return recall / len(users)
+
+
+def test_quality_parity_textsage():
+    """Flagship TextSAGE (n/w/t) quality parity within 3 sigma on the synthetic
+    fixture (round-1 verdict weak #6)."""
+    from furusato_recommend_tpu.data.features import synthetic_features
+
+    ds = synthetic_dataset(n_users=120, m_items=160, avg_degree=10, seed=11)
+    epochs, dim, lr = 6, 16, 0.01
+    cfg = Config(
+        model="textsage", latent_dim=dim, bpr_batch_size=128, lr=lr,
+        num_neighbors=3, n_layers=2, user_feature="nwt", item_feature="nwt",
+        eval_user_batch=64, topks=(10,), decay=1e-6,
+    )
+    feats = synthetic_features(ds, cfg, seed=4)
+    fu, fi = _np_feats(feats.user), _np_feats(feats.item)
+
+    ours = []
+    for s in (0, 1):
+        model = build_model("textsage", cfg.replace(seed=s), ds.graph, features=feats)
+        tr = Trainer(cfg.replace(seed=s), ds, model)
+        params, opt_state = tr.init_state(seed=s)
+        for _ in range(epochs):
+            params, opt_state, _ = tr.train_one_epoch(params, opt_state)
+        ours.append(tr.test(params)["recall@10"])
+    theirs = [
+        _torch_textsage_recall(ds, fu, fi, feats.text_vocab, epochs, dim, lr, seed=s)
+        for s in (0, 1)
+    ]
+    ours_m, theirs_m = np.mean(ours), np.mean(theirs)
+    spread = max(np.ptp(ours), np.ptp(theirs), 0.03)
+    assert abs(ours_m - theirs_m) <= 3 * spread, (ours, theirs)
+    assert ours_m > 0.05 and theirs_m > 0.05, (ours, theirs)
