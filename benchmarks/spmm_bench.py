@@ -32,19 +32,46 @@ from furusato_recommend_tpu.ops.padded_adj import (  # noqa: E402
 )
 
 
-def timeit(fn, *args, warmup=2, iters=10):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out
-    )
+# ---------------------------------------------------------------------------
+# Timing over the axon tunnel. CRITICAL: block_until_ready() does NOT wait on
+# the tunneled chip, and each host fetch costs a ~25 ms RPC round-trip.
+# Correct recipe: enqueue `iters` executions with VARYING inputs (identical
+# (executable, args) pairs can be served from cache), then force one tiny
+# fetch (executes after the whole queue drains) and subtract the RPC baseline.
+# ---------------------------------------------------------------------------
+
+_RPC_BASELINE = None
+
+
+def _sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jnp.ravel(leaf)[:1])
+
+
+def rpc_baseline():
+    global _RPC_BASELINE
+    if _RPC_BASELINE is None:
+        x = jnp.zeros((8,))
+        _sync(x)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _sync(x + 1.0)
+        _RPC_BASELINE = (time.perf_counter() - t0) / 5
+    return _RPC_BASELINE
+
+
+def timeit(fn, make_arg, iters=20):
+    """fn(*make_arg(i)) timed as (queue-drain wall time - RPC baseline)/iters.
+    make_arg must vary at least one input with i."""
+    base = rpc_baseline()
+    out = fn(*make_arg(0))
+    _sync(out)  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x, out
-    )
-    return (time.perf_counter() - t0) / iters
+    for i in range(iters):
+        out = fn(*make_arg(1 + i))
+    _sync(out)
+    dt = time.perf_counter() - t0
+    return max(dt - base, 1e-9) / iters
 
 
 def log(**kw):
@@ -61,10 +88,14 @@ def gather_bench(n_rows, n_idx, rng):
             x = jnp.asarray(rng.standard_normal((n_rows, d)), dtype=jnp.float32).astype(dtype)
             big = jnp.zeros((n_idx, d), dtype)
 
-            copy = jax.jit(lambda b: b + b)
-            dt_copy = timeit(copy, big)
-            gat = jax.jit(lambda x, i: x[i])
-            dt = timeit(gat, x, idx)
+            if jnp.issubdtype(dtype, jnp.floating):
+                copy = jax.jit(lambda b, i: b + jnp.asarray(i, dtype))
+                gat = jax.jit(lambda x, i, j: x[i] + jnp.asarray(j, dtype))
+            else:
+                copy = jax.jit(lambda b, i: b + jnp.asarray(i, jnp.int8))
+                gat = jax.jit(lambda x, i, j: x[i] + jnp.asarray(j, jnp.int8))
+            dt_copy = timeit(lambda b, i: copy(b, i), lambda i: (big, i), iters=10)
+            dt = timeit(lambda x, i, j: gat(x, i, j), lambda j: (x, idx, j), iters=10)
             bytes_row = n_idx * d * x.dtype.itemsize
             log(
                 bench="gather",
@@ -90,23 +121,22 @@ def spmm_bench(ds):
     for hub in (0, 1024, 4096, 8192):
         adj = build_padded_adj(src, dst, w, nn, hub_count=hub)
         pair = PaddedAdjPair(fwd=adj, bwd=adj)
-        fwd = jax.jit(lambda x: padded_spmm(pair, x))
-        dt_f = timeit(fwd, x64)
+        fwd = jax.jit(lambda x, i: padded_spmm(pair, x + jnp.float32(i)))
+        dt_f = timeit(fwd, lambda i: (x64, i), iters=10)
 
         def loss(x):
             return jnp.sum(padded_spmm(pair, x) ** 2)
 
-        both = jax.jit(jax.grad(loss))
-        dt_b = timeit(both, x64)
-        hub_edges = 0 if adj.hub_weights is None else int(
-            E - sum(int((w_ > 0).sum()) for w_ in adj.bucket_weights)
-        )
+        both = jax.jit(lambda x, i: jax.grad(loss)(x + jnp.float32(i)))
+        dt_b = timeit(both, lambda i: (x64, i), iters=10)
+        tail_edges = sum(int((np.asarray(w_) > 0).sum()) for w_ in adj.bucket_weights)
         log(
             bench="padded_spmm",
             hub=hub,
             fwd_ms=round(dt_f * 1e3, 2),
             fwd_bwd_ms=round(dt_b * 1e3, 2),
             edges=E,
+            tail_edges=tail_edges,
             hub_rows=0 if adj.hub_ids is None else int(adj.hub_ids.shape[0]),
         )
 

@@ -123,6 +123,7 @@ class Config:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     neg_candidates: int = 4  # bounded rejection width; P(all positive) <= (max_deg/m)^4
+    sample_infer_chunk: int = 512  # --inference sample encode tile (tree memory bound)
     eval_user_batch: int = 1024  # device-side eval tile (users per scoring block)
     donate_params: bool = True
     compute_auc: bool = False  # per-user AUC during eval (reference metric.py:149-158)

@@ -396,7 +396,7 @@ class SAGE(PairwiseModel):
         the sampled-subgraph forward instead of exact full-graph means
         (`/root/reference/model/graphsage.py:401-477`). Chunked with lax.map to
         bound the tree-activation memory."""
-        chunk = 512
+        chunk = self.config.sample_infer_chunk
 
         def encode_all(n, side, key):
             n_pad = -(-n // chunk) * chunk

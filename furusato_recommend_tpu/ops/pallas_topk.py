@@ -46,40 +46,68 @@ def _kernel(u_ref, i_ref, vals_ref, ids_ref, best_v, best_i, *, k, tile, num_til
     tile_ids = t * tile + jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
     scores = jnp.where(tile_ids < m, scores, NEG_INF)  # catalog padding
 
-    # fold tile into running top-k: concat candidates then k iterative
-    # max-extractions. All ops stay 2-D with keepdims (Mosaic vector-layout
-    # constraint: 1-D argmax/iota patterns crash ApplyVectorLayout).
-    cand_v = jnp.concatenate([best_v[:], scores], axis=1)  # [B, K+T]
-    cand_i = jnp.concatenate([best_i[:], tile_ids], axis=1)
+    # Threshold-gated streaming fold: a while_loop that each iteration moves
+    # ONE improving candidate per row (all rows in parallel) from the tile into
+    # that row's current-min top-k slot, and exits as soon as NO row has a
+    # remaining candidate above its kth. Cost is O(actual improvements), not
+    # O(k) per tile — once the running top-k is warm, most tiles fold in zero
+    # or a handful of iterations (the round-1 kernel burned k=32 full passes
+    # over [B, K+T] on every tile, 50x the matmul cost). All ops stay 2-D
+    # with keepdims (Mosaic vector-layout constraint).
     col_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-    width = k + tile
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (b, tile), 1)
 
-    def select(j, carry):
-        cand_v, new_v, new_i = carry
-        v = jnp.max(cand_v, axis=1, keepdims=True)  # [B, 1]
+    def cond(carry):
+        cand_v, bv, bi = carry
+        return jnp.any(
+            jnp.max(cand_v, axis=1, keepdims=True) > jnp.min(bv, axis=1, keepdims=True)
+        )
+
+    def body(carry):
+        cand_v, bv, bi = carry
+        v = jnp.max(cand_v, axis=1, keepdims=True)  # [B, 1] best remaining
         is_max = cand_v == v
-        # tie-break to one column per row: smallest column index among maxima
-        # (no cumsum — unsupported in Mosaic)
-        cmin = jnp.min(jnp.where(is_max, col_w, width), axis=1, keepdims=True)
-        sel = is_max & (col_w == cmin)
-        i = jnp.sum(jnp.where(sel, cand_i, 0), axis=1, keepdims=True)  # [B, 1]
-        onej = col_k == j
-        new_v = jnp.where(onej, v, new_v)
-        new_i = jnp.where(onej, i, new_i)
-        cand_v = jnp.where(sel, NEG_INF, cand_v)
-        return cand_v, new_v, new_i
+        cmin = jnp.min(jnp.where(is_max, col_t, tile), axis=1, keepdims=True)
+        sel = is_max & (col_t == cmin)  # one column per row
+        i = jnp.sum(jnp.where(sel, tile_ids, 0), axis=1, keepdims=True)
+        kth = jnp.min(bv, axis=1, keepdims=True)
+        improving = v > kth  # [B, 1]
+        # the row's min slot in best (first among ties)
+        is_min = bv == kth
+        kmin = jnp.min(jnp.where(is_min, col_k, k), axis=1, keepdims=True)
+        slot = is_min & (col_k == kmin)
+        bv = jnp.where(slot & improving, v, bv)
+        bi = jnp.where(slot & improving, i, bi)
+        cand_v = jnp.where(sel, NEG_INF, cand_v)  # consume (guarantees progress)
+        return cand_v, bv, bi
 
-    _, new_v, new_i = jax.lax.fori_loop(
-        0, k, select, (cand_v, jnp.zeros_like(best_v[:]), jnp.zeros_like(best_i[:]))
-    )
+    _, new_v, new_i = jax.lax.while_loop(cond, body, (scores, best_v[:], best_i[:]))
     best_v[:] = new_v
     best_i[:] = new_i
 
     @pl.when(t == num_tiles - 1)
     def _():
-        vals_ref[:] = best_v[:]
-        ids_ref[:] = best_i[:]
+        # emit in descending-value order (lax.top_k contract downstream)
+        bv, bi = best_v[:], best_i[:]
+        out_v = jnp.zeros_like(bv)
+        out_i = jnp.zeros_like(bi)
+
+        def emit(j, carry):
+            bv, out_v, out_i = carry
+            v = jnp.max(bv, axis=1, keepdims=True)
+            is_max = bv == v
+            cmin = jnp.min(jnp.where(is_max, col_k, k), axis=1, keepdims=True)
+            sel = is_max & (col_k == cmin)
+            i = jnp.sum(jnp.where(sel, bi, 0), axis=1, keepdims=True)
+            onej = col_k == j
+            out_v = jnp.where(onej, v, out_v)
+            out_i = jnp.where(onej, i, out_i)
+            bv = jnp.where(sel, NEG_INF, bv)
+            return bv, out_v, out_i
+
+        _, out_v, out_i = jax.lax.fori_loop(0, k, emit, (bv, out_v, out_i))
+        vals_ref[:] = out_v
+        ids_ref[:] = out_i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
