@@ -183,7 +183,21 @@ def main(argv=None):
         ),
     )
     trainer = Trainer(config, dataset, model, logger=logger, ddp_recipe=args.ddp_recipe)
-    trainer.fit()
+    state = None
+    if config.load:
+        # --load: warm-start from the last checkpoint at this config's path —
+        # the reference parses the flag but never uses it
+        # (/root/reference/parse.py:41); the DDP flagship hard-codes the same
+        # warm-start behavior (/root/reference/ddp.py:794). Implemented here.
+        from .core.checkpoint import checkpoint_path
+
+        ckpt = checkpoint_path(config)
+        if ckpt.exists():
+            state = trainer.restore(ckpt)
+            cprint(f"[load] warm-started from {ckpt} @ step {trainer.step}")
+        else:
+            cprint(f"[load] no checkpoint at {ckpt}; training from scratch")
+    trainer.fit(state=state)
 
 
 if __name__ == "__main__":

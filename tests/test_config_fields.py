@@ -87,3 +87,28 @@ def test_ddp_recipe_truncates_eval_to_test_count():
     assert tr.eval_data.users.shape == (2, 16)
     tr_full = Trainer(cfg, ds, model, ddp_recipe=False)
     assert tr_full.eval_data.users.shape[0] * 16 >= 64
+
+
+def test_cli_load_warm_start(tmp_path, capsys):
+    """--load warm-starts from the config-path checkpoint (the reference
+    parses the flag but never reads it; the DDP flagship hard-codes the same
+    behavior, ddp.py:794)."""
+    from furusato_recommend_tpu.cli import main
+
+    cf = tmp_path / "cf"
+    cf.mkdir()
+    rng = np.random.default_rng(3)
+    with open(cf / "train.txt", "w") as ftr, open(cf / "test.txt", "w") as fte:
+        for u in range(40):
+            items = rng.choice(60, size=8, replace=False)
+            ftr.write(f"{u} " + " ".join(map(str, items[:6])) + "\n")
+            fte.write(f"{u} " + " ".join(map(str, items[6:])) + "\n")
+    args = [
+        "--model", "mf", "--recdim", "8", "--bpr_batch", "64", "--lr", "0.05",
+        "--test_span", "1", "--data_path", str(tmp_path),
+        "--path", str(tmp_path / "ckpt"), "--test",
+    ]
+    main(args + ["--epochs", "2"])
+    main(args + ["--epochs", "4", "--load", "1"])
+    out = capsys.readouterr().out
+    assert "warm-started" in out
