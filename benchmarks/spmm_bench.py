@@ -109,6 +109,9 @@ def gather_bench(n_rows, n_idx, rng):
 
 
 def spmm_bench(ds):
+    # The adjacency MUST flow as a jit argument: a closed-over dense hub block
+    # is baked into the executable as a constant, and at hub>=4096 the
+    # remote-compile payload exceeds the tunnel's HTTP body limit (413).
     g = ds.graph
     src = np.asarray(g.norm_edges.src)
     dst = np.asarray(g.norm_edges.dst)
@@ -118,27 +121,235 @@ def spmm_bench(ds):
     rng = np.random.default_rng(0)
     x64 = jnp.asarray(rng.standard_normal((nn, 64)).astype(np.float32))
 
-    for hub in (0, 1024, 4096, 8192):
-        adj = build_padded_adj(src, dst, w, nn, hub_count=hub)
+    # Sub-ms ops drown in the ~25 ms RPC-baseline noise at iters=10, so repeat
+    # the op INSIDE one program (sequential dependent applies, like an L-layer
+    # propagate) and difference two repetition counts: per-op = (t(R2)-t(R1))/(R2-R1).
+    import jax.lax as lax
+
+    def per_op(make_prog, make_arg=None, r1=2, r2=12, iters=3):
+        ma = make_arg or (lambda i: (pair, x64, i))
+        f1, f2 = make_prog(r1), make_prog(r2)
+        t1 = timeit(f1, ma, iters=iters)
+        t2 = timeit(f2, ma, iters=iters)
+        return (t2 - t1) / (r2 - r1)
+
+    # --- variant shoot-out: how should one bucketed reduction be computed? ---
+    # Suspect: einsum "nc,ncd->nd" lowers to a batched matmul with cap (4-32)
+    # as the contraction dim — pathological MXU tiles. Compare VPU reductions
+    # and (re-measured with sound timing) scatter-based segment_sum.
+    src_j = jnp.asarray(src.astype(np.int32))
+    dst_j = jnp.asarray(dst.astype(np.int32))
+    w_j = jnp.asarray(w.astype(np.float32))
+
+    def apply_einsum(adjp, x):
+        xc = x.astype(jnp.bfloat16)
+        outs = [
+            jnp.einsum("nc,ncd->nd", wb.astype(jnp.bfloat16), xc[nbr],
+                       preferred_element_type=jnp.float32)
+            for nbr, wb in zip(adjp.bucket_nbrs, adjp.bucket_weights)
+        ]
+        y = jnp.concatenate(outs, 0)[adjp.inv_perm]
+        if adjp.hub_weights is not None:
+            y = y + jnp.dot(adjp.hub_weights, xc[adjp.hub_ids],
+                            preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+    def apply_mulsum(adjp, x):
+        xc = x.astype(jnp.bfloat16)
+        outs = [
+            jnp.sum((xc[nbr] * wb.astype(jnp.bfloat16)[..., None]).astype(jnp.float32), 1)
+            for nbr, wb in zip(adjp.bucket_nbrs, adjp.bucket_weights)
+        ]
+        y = jnp.concatenate(outs, 0)[adjp.inv_perm]
+        if adjp.hub_weights is not None:
+            y = y + jnp.dot(adjp.hub_weights, xc[adjp.hub_ids],
+                            preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+    def apply_flat(adjp, x):
+        xc = x.astype(jnp.bfloat16)
+        outs = []
+        for nbr, wb in zip(adjp.bucket_nbrs, adjp.bucket_weights):
+            n_b, cap = nbr.shape
+            xg = xc[nbr.reshape(-1)].reshape(n_b, cap, -1)
+            outs.append(jnp.sum((xg * wb.astype(jnp.bfloat16)[..., None]).astype(jnp.float32), 1))
+        y = jnp.concatenate(outs, 0)[adjp.inv_perm]
+        if adjp.hub_weights is not None:
+            y = y + jnp.dot(adjp.hub_weights, xc[adjp.hub_ids],
+                            preferred_element_type=jnp.float32)
+        return y.astype(x.dtype)
+
+    def apply_segsum(_, x):
+        xc = x.astype(jnp.bfloat16)
+        msg = xc[src_j] * w_j[:, None].astype(jnp.bfloat16)
+        return jax.ops.segment_sum(
+            msg.astype(jnp.float32), dst_j, num_segments=nn, indices_are_sorted=True
+        ).astype(x.dtype)
+
+    # elimination variants: strip one suspect at a time (results not
+    # semantically correct where noted — perf isolation only)
+    def apply_mulsum_noperm(adjp, x):  # no inv_perm un-permute
+        xc = x.astype(jnp.bfloat16)
+        outs = [
+            jnp.sum((xc[nbr] * wb.astype(jnp.bfloat16)[..., None]).astype(jnp.float32), 1)
+            for nbr, wb in zip(adjp.bucket_nbrs, adjp.bucket_weights)
+        ]
+        return jnp.concatenate(outs, 0).astype(x.dtype)
+
+    def apply_gather_only(adjp, x):  # no weights, no perm: pure gather+reduce
+        xc = x.astype(jnp.bfloat16)
+        outs = [
+            jnp.sum(xc[nbr].astype(jnp.float32), 1) for nbr in adjp.bucket_nbrs
+        ]
+        return jnp.concatenate(outs, 0).astype(x.dtype)
+
+    def apply_mulsum_f32(adjp, x):  # f32 gather payload (no bf16 cast)
+        outs = [
+            jnp.sum(xg * wb[..., None], 1)
+            for xg, wb in (
+                (x[nbr], wb)
+                for nbr, wb in zip(adjp.bucket_nbrs, adjp.bucket_weights)
+            )
+        ]
+        return jnp.concatenate(outs, 0)[adjp.inv_perm]
+
+    variants = {
+        "einsum": apply_einsum,
+        "mulsum": apply_mulsum,
+        "flat": apply_flat,
+        "segsum_sorted": apply_segsum,
+        "mulsum_noperm": apply_mulsum_noperm,
+        "gather_only": apply_gather_only,
+        "mulsum_f32": apply_mulsum_f32,
+    }
+    runs = []  # (variant, hub, cap_growth, freq_renumber)
+    if "--probes" in sys.argv:
+        runs = [
+            ("einsum", 1024, 2.0, False),  # round-1 formulation
+            ("mulsum_noperm", 1024, 1.26, False),  # fine cap ladder: less padding
+            ("mulsum_noperm", 1024, 2.0, True),  # hot sources contiguous
+            ("mulsum_noperm", 1024, 1.26, True),  # both
+        ]
+    # frequency-rank renumbering of SOURCES: hot rows become contiguous at the
+    # top of x — pure locality probe (values of x are random either way)
+    freq = np.bincount(src, minlength=nn)
+    rank = np.empty(nn, np.int64)
+    rank[np.argsort(-freq, kind="stable")] = np.arange(nn)
+    src_rn = rank[src]
+
+    adjs = {}
+    for name, hub, growth, renum in runs:
+        key = (hub, growth, renum)
+        if key not in adjs:
+            adjs[key] = build_padded_adj(
+                src_rn if renum else src,
+                dst,
+                w,
+                nn,
+                hub_count=hub,
+                hub_mem_budget=4 * 1024**3,
+                cap_growth=growth,
+            )
+        adj = adjs[key]
         pair = PaddedAdjPair(fwd=adj, bwd=adj)
-        fwd = jax.jit(lambda x, i: padded_spmm(pair, x + jnp.float32(i)))
-        dt_f = timeit(fwd, lambda i: (x64, i), iters=10)
+        fn = variants[name]
 
-        def loss(x):
-            return jnp.sum(padded_spmm(pair, x) ** 2)
+        def fwd_prog(R, fn=fn):
+            return jax.jit(
+                lambda p, x, i: lax.fori_loop(
+                    0, R, lambda _, y: fn(p.fwd, y), x + jnp.float32(i)
+                )
+            )
 
-        both = jax.jit(lambda x, i: jax.grad(loss)(x + jnp.float32(i)))
-        dt_b = timeit(both, lambda i: (x64, i), iters=10)
-        tail_edges = sum(int((np.asarray(w_) > 0).sum()) for w_ in adj.bucket_weights)
+        dt_f = per_op(fwd_prog)
         log(
-            bench="padded_spmm",
+            bench="spmm_variant",
+            variant=name,
             hub=hub,
+            cap_growth=growth,
+            renumber=renum,
             fwd_ms=round(dt_f * 1e3, 2),
-            fwd_bwd_ms=round(dt_b * 1e3, 2),
-            edges=E,
-            tail_edges=tail_edges,
-            hub_rows=0 if adj.hub_ids is None else int(adj.hub_ids.shape[0]),
+            tail_edges=sum(int((np.asarray(w_) > 0).sum()) for w_ in adj.bucket_weights),
+            pad_slots=sum(int(np.prod(n.shape)) for n in adj.bucket_nbrs),
         )
+
+    # --- the adopted op (padded_spmm with current defaults) ---
+    adj = build_padded_adj(src, dst, w, nn, hub_count=1024)
+    adj_pair = PaddedAdjPair(fwd=adj, bwd=adj)
+    dt_f = per_op(
+        lambda R: jax.jit(
+            lambda p, x, i: lax.fori_loop(
+                0, R, lambda _, y: padded_spmm(p, y), x + jnp.float32(i)
+            )
+        ),
+        make_arg=lambda i: (adj_pair, x64, i),
+    )
+
+    def grad_prog(R):
+        def run(p, x, i):
+            g = jax.grad(lambda z: jnp.sum(padded_spmm(p, z) ** 2))
+            return lax.fori_loop(0, R, lambda _, y: g(y), x + jnp.float32(i))
+
+        return jax.jit(run)
+
+    dt_b = per_op(grad_prog, make_arg=lambda i: (adj_pair, x64, i))
+    ref = jax.jit(
+        lambda x: jax.ops.segment_sum(
+            (x.astype(jnp.float32)[src_j] * w_j[:, None]), dst_j, num_segments=nn
+        )
+    )(x64)
+    got = jax.jit(lambda p, x: padded_spmm(p, x))(adj_pair, x64)
+    ok = bool(jnp.max(jnp.abs(ref - got)) < 0.05 * float(jnp.max(jnp.abs(ref))))
+    log(
+        bench="padded_spmm_adopted",
+        hub=1024,
+        fwd_ms=round(dt_f * 1e3, 2),
+        fwd_bwd_ms=round(dt_b * 1e3, 2),
+        matches_segsum=ok,
+    )
+
+    # --- special probes ---
+    if (1024, 2.0, False) not in adjs:
+        return
+    adj = adjs[(1024, 2.0, False)]
+    pair = PaddedAdjPair(fwd=adj, bwd=adj)
+
+    # (a) d=128: if ms stays flat for 2x bytes, d=64 underfills the lane dim
+    x128 = jnp.asarray(rng.standard_normal((nn, 128)).astype(np.float32))
+    dt = per_op(
+        lambda R: jax.jit(
+            lambda p, x, i: lax.fori_loop(
+                0, R, lambda _, y: apply_mulsum(p.fwd, y), x + jnp.float32(i)
+            )
+        ),
+        make_arg=lambda i: (pair, x128, i),
+    )
+    log(bench="spmm_variant", variant="mulsum_d128", hub=1024, fwd_ms=round(dt * 1e3, 2))
+
+    # (b) single fused gather for ALL buckets (kernel-count probe; no perm)
+    shapes = [tuple(n.shape) for n in adj.bucket_nbrs]
+    offs = np.cumsum([0] + [s[0] * s[1] for s in shapes]).tolist()
+    idx_flat = jnp.concatenate([jnp.ravel(n) for n in adj.bucket_nbrs])
+    w_flat = jnp.concatenate([jnp.ravel(w_) for w_ in adj.bucket_weights])
+
+    def apply_flat1(fi, fw, x):
+        xc = x.astype(jnp.bfloat16)
+        xg = xc[fi] * fw.astype(jnp.bfloat16)[:, None]  # [S, d] one gather
+        outs = []
+        for (n_b, cap), off in zip(shapes, offs[:-1]):
+            seg = jax.lax.dynamic_slice_in_dim(xg, off, n_b * cap)
+            outs.append(jnp.sum(seg.reshape(n_b, cap, -1).astype(jnp.float32), 1))
+        return jnp.concatenate(outs, 0).astype(x.dtype)
+
+    dt = per_op(
+        lambda R: jax.jit(
+            lambda fi, fw, x, i: lax.fori_loop(
+                0, R, lambda _, y: apply_flat1(fi, fw, y), x + jnp.float32(i)
+            )
+        ),
+        make_arg=lambda i: (idx_flat, w_flat, x64, i),
+    )
+    log(bench="spmm_variant", variant="flat1_onegather", hub=1024, fwd_ms=round(dt * 1e3, 2))
 
 
 def main():
@@ -147,7 +358,8 @@ def main():
     log(bench="start", backend=jax.default_backend())
 
     # 1. raw gather wall
-    gather_bench(70_000, 2_900_000, rng)
+    if "--skip-gather" not in sys.argv:
+        gather_bench(70_000, 2_900_000, rng)
 
     # 2. padded SpMM across hub settings
     ds = synthetic_dataset(n_users=50_000, m_items=20_000, avg_degree=29, seed=0)

@@ -129,7 +129,21 @@ def build_model_inputs(config, dataset):
             load_relation_edges,
         )
 
-        features = load_reference_features(config, config.data_path, dataset=dataset)
+        # dask variant: numeric matrices stay on disk (memmap) and stream
+        # through as per-epoch projections (data/ooc.py)
+        ooc_mode = config.model == "dask"
+        features = load_reference_features(
+            config, config.data_path, dataset=dataset, skip_numeric=ooc_mode
+        )
+        if ooc_mode:
+            from .data.features import numeric_artifact_paths
+            from .data.ooc import MemmapNumeric
+
+            paths = numeric_artifact_paths(config, config.data_path)
+            if paths:
+                model_kw["ooc_numeric"] = {
+                    side: MemmapNumeric(p) for side, p in paths.items()
+                }
         if config.model == "sasrec":
             from .data.sequence import build_sequences
 

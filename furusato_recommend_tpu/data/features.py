@@ -163,8 +163,27 @@ def synthetic_features(
     )
 
 
+def numeric_artifact_paths(config: Config, base_path: str) -> Dict[str, str]:
+    """On-disk numeric artifact path per side needing the 'n' flag — for the
+    out-of-core (dask) loader, which memmaps these instead of uploading them
+    (`/root/reference/model/textsage_dask.py:117-119`)."""
+    from pathlib import Path
+
+    sfx = config.suffix
+    cb = Path(base_path) / "cb" / sfx if sfx else Path(base_path) / "cb"
+    out: Dict[str, str] = {}
+    if "n" in config.user_feature:
+        out["user"] = str(cb / f"user_numeric_feature{sfx}.npy")
+    if "n" in config.item_feature:
+        out["item"] = str(cb / f"product_numeric_feature{sfx}.npy")
+    return out
+
+
 def load_reference_features(
-    config: Config, base_path: str, dataset: Optional[Dataset] = None
+    config: Config,
+    base_path: str,
+    dataset: Optional[Dataset] = None,
+    skip_numeric: bool = False,
 ) -> FeatureStore:
     """Load the reference's on-disk artifacts (SURVEY.md §2.5 outputs):
     ``customer_feature_pad{sfx}.npy``, ``product_feature_pad{sfx}.npy``,
@@ -227,7 +246,7 @@ def load_reference_features(
 
     user = SideFeatures(
         numeric=jnp.asarray(np_load(cb / f"user_numeric_feature{sfx}.npy"), jnp.float32)
-        if "n" in uf
+        if "n" in uf and not skip_numeric
         else None,
         categorical=None if user_cat is None else jnp.asarray(user_cat),
         word2vec=jnp.asarray(np_load(tx / f"user_text_emb{sfx}.npy"), jnp.float32)
@@ -240,7 +259,7 @@ def load_reference_features(
     )
     item = SideFeatures(
         numeric=jnp.asarray(np_load(cb / f"product_numeric_feature{sfx}.npy"), jnp.float32)
-        if "n" in itf
+        if "n" in itf and not skip_numeric
         else None,
         categorical=None if item_cat is None else jnp.asarray(item_cat),
         word2vec=jnp.asarray(np_load(tx / f"product_text_emb{sfx}.npy"), jnp.float32)

@@ -58,8 +58,10 @@ def _sage(conv="sage_cat", **fixed):
 
 
 register("textsage")(_sage("sage_cat"))
-register("dask")(_sage("sage_cat"))  # out-of-core numeric feature variant: same
-# model; host-side feature streaming is the input pipeline's job on TPU
+register("dask")(_sage("sage_cat"))  # out-of-core numeric variant: pass
+# ooc_numeric={side: MemmapNumeric} (data/ooc.py) — the numeric matrices stay
+# on disk and stream through as per-epoch projections with epoch-delayed
+# X^T@G updates (/root/reference/model/textsage_dask.py:117-119,300-334)
 register("textsage_id")(_sage("sage_cat", use_id_embedding=True))
 register("sage")(_sage("sage_cat", use_id_embedding=True))
 register("fsage")(_sage("sage_cat", use_id_embedding=True))

@@ -78,9 +78,22 @@ class SAGE(PairwiseModel):
         full_graph_train: bool = False,
         layer_mean_output: Optional[bool] = None,
         precompute_initial: Optional[bool] = None,
+        ooc_numeric=None,
     ):
         super().__init__(config, graph)
         self.features = features
+        # out-of-core numeric features (the `dask` variant): side -> host
+        # MemmapNumeric handle (data/ooc.py). The on-device stand-in is the
+        # streamed projection self._ooc_proj[side] [N, d], refreshed per epoch
+        # by the Trainer (refresh_ooc_proj) and bound through jit boundaries.
+        self.ooc_numeric = dict(ooc_numeric or {})
+        self._ooc_proj = {}
+        for side in self.ooc_numeric:
+            sf = features.user if side == "user" else features.item
+            if sf.numeric is not None:
+                raise ValueError(
+                    f"{side}: both in-core numeric features and ooc_numeric given"
+                )
         self.dim = config.latent_dim
         self.n_layers = config.n_layers
         self.fanout = config.num_neighbors
@@ -164,11 +177,19 @@ class SAGE(PairwiseModel):
         p: Params = {}
         d = self.dim
         if "n" in self.user_flags:
-            fn = self.features.user.numeric.shape[1]
+            fn = (
+                self.ooc_numeric["user"].shape[1]
+                if "user" in self.ooc_numeric
+                else self.features.user.numeric.shape[1]
+            )
             p["user_numeric_w"] = _xavier(next(keys), (fn, d))
             p["user_numeric_b"] = jnp.zeros((d,))
         if "n" in self.item_flags:
-            fn = self.features.item.numeric.shape[1]
+            fn = (
+                self.ooc_numeric["item"].shape[1]
+                if "item" in self.ooc_numeric
+                else self.features.item.numeric.shape[1]
+            )
             p["item_numeric_w"] = _xavier(next(keys), (fn, d))
             p["item_numeric_b"] = jnp.zeros((d,))
         if "c" in self.user_flags:
@@ -212,18 +233,18 @@ class SAGE(PairwiseModel):
 
     # -- jit-boundary data protocol (see PairwiseModel.data_to_bind) --
     def data_to_bind(self):
-        return (self.features, self._text_adj)
+        return (self.features, self._text_adj, self._ooc_proj)
 
     import contextlib as _contextlib
 
     @_contextlib.contextmanager
     def bind(self, data):
-        old = (self.features, self._text_adj)
-        self.features, self._text_adj = data
+        old = (self.features, self._text_adj, self._ooc_proj)
+        self.features, self._text_adj, self._ooc_proj = data
         try:
             yield
         finally:
-            self.features, self._text_adj = old
+            self.features, self._text_adj, self._ooc_proj = old
 
     def _rel_chain(self, params) -> Optional[List[jnp.ndarray]]:
         """Per-layer relation embeddings: rel_{i+1} = rel_linear_i(rel_i)
@@ -252,7 +273,10 @@ class SAGE(PairwiseModel):
         flags = self.user_flags if side == "user" else self.item_flags
         parts: List[jnp.ndarray] = []
         if "n" in flags:
-            parts.append(feats.numeric[ids] @ params[f"{side}_numeric_w"] + params[f"{side}_numeric_b"])
+            if side in self.ooc_numeric:
+                parts.append(self._ooc_proj[side][ids])  # streamed X@W+b rows
+            else:
+                parts.append(feats.numeric[ids] @ params[f"{side}_numeric_w"] + params[f"{side}_numeric_b"])
         if "t" in flags:
             text = feats.text[ids]
             for f in range(3):
@@ -295,17 +319,27 @@ class SAGE(PairwiseModel):
         feats = self.features.user if side == "user" else self.features.item
         flags = self.user_flags if side == "user" else self.item_flags
         n = self.n_users if side == "user" else self.m_items
-        if feats.n_entities < n:
+        n_ent = (
+            self.ooc_numeric[side].shape[0]
+            if side in self.ooc_numeric and all(
+                a is None for a in (feats.categorical, feats.word2vec, feats.sentence, feats.bert, feats.text)
+            )
+            else feats.n_entities
+        )
+        if n_ent < n:
             raise ValueError(
-                f"{side} feature artifacts cover {feats.n_entities} entities "
+                f"{side} feature artifacts cover {n_ent} entities "
                 f"but the dataset has {n}"
             )
         ids = jnp.arange(n)
         parts: List[jnp.ndarray] = []
         if "n" in flags:
-            parts.append(
-                feats.numeric[:n] @ params[f"{side}_numeric_w"] + params[f"{side}_numeric_b"]
-            )
+            if side in self.ooc_numeric:
+                parts.append(self._ooc_proj[side][:n])  # streamed X@W+b
+            else:
+                parts.append(
+                    feats.numeric[:n] @ params[f"{side}_numeric_w"] + params[f"{side}_numeric_b"]
+                )
         if "t" in flags or (side == "item" and "r" in flags):
             bags = self._all_text_bags(params, side)[:n]  # [n, T, dw]
             n_fields = 3 if "t" in flags else 0
@@ -492,7 +526,7 @@ class SAGE(PairwiseModel):
         return self._head(params, out, seed_side)
 
     # ---- training loss ----
-    def initial_tables(self, params):
+    def initial_tables(self, params, ooc_proj=None):
         """All-entity initial (feature) embeddings — the epoch-cacheable stage.
 
         With ``config.train_emb=False`` (reference default) the Trainer calls
@@ -501,8 +535,32 @@ class SAGE(PairwiseModel):
         ``retain_graph=True`` recipe (`/root/reference/model/graphsage.py:368-394`)
         without its stale-autograd-graph defect. With ``train_emb=True`` this is
         recomputed inside every step's loss (fresh gradients,
-        `/root/reference/model/graphsage.py:376-381`)."""
+        `/root/reference/model/graphsage.py:376-381`).
+
+        ooc_proj: explicit streamed numeric projections (dask variant) so the
+        Trainer can jax.vjp w.r.t. them and accumulate their cotangents for the
+        post-epoch streamed X^T@G gradient pass (data/ooc.py)."""
+        if ooc_proj is not None:
+            old = self._ooc_proj
+            self._ooc_proj = ooc_proj
+            try:
+                return self._initial_all(params, "user"), self._initial_all(params, "item")
+            finally:
+                self._ooc_proj = old
         return self._initial_all(params, "user"), self._initial_all(params, "item")
+
+    def refresh_ooc_proj(self, params, chunk: int = 65536):
+        """Recompute the streamed numeric projections for the current params
+        (one host->device streaming pass per side; data/ooc.py)."""
+        from ..data.ooc import stream_project
+
+        self._ooc_proj = {
+            side: stream_project(
+                mm, params[f"{side}_numeric_w"], params[f"{side}_numeric_b"], chunk
+            )
+            for side, mm in self.ooc_numeric.items()
+        }
+        return self._ooc_proj
 
     def loss(self, params, graph, batch: BPRBatch, key, tables=None):
         """tables: optional precomputed (user_x, item_x) initial embeddings

@@ -2,11 +2,11 @@
 
 Why: XLA lowers `segment_sum` to scatter-add, and the VJP of a gather is also a
 scatter-add — so the naive COO SpMM pays the slow TPU scatter path twice.
-Measured on a v5e chip (2.9M edges, 70k nodes, d=64):
+Measured on a v5e chip (2.9M edges, 70k nodes, d=64; in-program-repetition
+timing, see PERF.md "SpMM microbench"):
 
-    segment_sum  fwd 32.5 ms   fwd+bwd  84.3 ms
-    padded       fwd 25.6 ms   fwd+bwd 128.3 ms   (XLA scatter in backward)
-    padded+TVJP  fwd 25.6 ms   fwd+bwd ~51 ms     (backward = transposed fwd)
+    segment_sum (sorted)   fwd 36.6 ms
+    padded+TVJP (adopted)  fwd  4.6 ms   fwd+bwd 11.9 ms  (backward = transposed fwd)
 
 Design: nodes are bucketed by degree into power-of-two caps; each bucket is a
 dense [n_b, cap] neighbor/weight block, so the reduction is a dense masked sum
@@ -66,6 +66,7 @@ def build_padded_adj(
     min_cap: int = 4,
     hub_count: int = 0,
     hub_mem_budget: int = 512 * 1024 * 1024,
+    cap_growth: float = 1.26,
 ) -> PaddedAdj:
     """Host-side vectorized construction (numpy). Edges need not be sorted.
 
@@ -100,9 +101,11 @@ def build_padded_adj(
     start = np.zeros(num_dst + 1, dtype=np.int64)
     np.cumsum(deg, out=start[1:])
 
+    # cap ladder: growth < 2 trades more buckets for less padding — the gather
+    # is issue-rate bound (PERF.md), so every padded slot costs like a real one
     caps = [min_cap]
     while caps[-1] < max(int(deg.max(initial=1)), 1):
-        caps.append(caps[-1] * 2)
+        caps.append(max(int(np.ceil(caps[-1] * cap_growth)), caps[-1] + 1))
 
     nbrs, weights, node_order = [], [], []
     lo = 0
@@ -150,16 +153,22 @@ def build_padded_pair(
 
 
 def _apply(adj: PaddedAdj, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
-    """y[v] = sum_u w(u->v) x[u], bucketed dense reductions. f32 accumulation."""
+    """y[v] = sum_u w(u->v) x[u], bucketed dense reductions. f32 accumulation.
+
+    The per-bucket reduction is an explicit VPU multiply + axis-sum, NOT an
+    einsum: XLA lowers "nc,ncd->nd" to a batched matmul whose contraction dim
+    is the bucket cap (4-32) — pathological MXU tiles, measured 28% slower at
+    the PERF.md shape. The bucket gather itself is random-access issue-rate
+    bound (~2.5 ns/row on v5e regardless of row width or dtype — f32 vs bf16
+    and d=64 vs d=128 time identically), which is why the builder's cap ladder
+    grows by 1.26x (less padding = fewer issued rows) and why a padded slot
+    costs nearly as much as a real edge."""
     xc = x.astype(compute_dtype)
     outs = []
     for nbr, w in zip(adj.bucket_nbrs, adj.bucket_weights):
-        xg = xc[nbr]  # [n_b, cap, d] gather — the only memory-bound op
-        outs.append(
-            jnp.einsum(
-                "nc,ncd->nd", w.astype(compute_dtype), xg, preferred_element_type=jnp.float32
-            )
-        )
+        xg = xc[nbr]  # [n_b, cap, d] gather — the issue-rate-bound op
+        wb = w.astype(compute_dtype)[..., None]
+        outs.append(jnp.sum((xg * wb).astype(jnp.float32), axis=1))
     y = jnp.concatenate(outs, axis=0)[adj.inv_perm]
     if adj.hub_weights is not None:
         xh = xc[adj.hub_ids].astype(jnp.bfloat16)  # [H, d] — small gather

@@ -101,7 +101,34 @@ class Trainer:
             w = popularity_positive_edge_weights(dataset, config.sample_pow)
             self.edge_alias = edge_alias_from_weights(w)
 
-        self.optimizer = optax.adam(config.lr)
+        # out-of-core numeric features (dask variant): their projections enter
+        # the epoch as data, so the in-epoch adam must not touch the numeric
+        # linears (zero-grad adam still drifts params via moment decay) — they
+        # get an epoch-delayed update from the streamed X^T@G pass instead.
+        self.ooc = dict(getattr(model, "ooc_numeric", None) or {})
+        if self.ooc and config.train_emb:
+            raise ValueError(
+                "out-of-core numeric features (dask) require train_emb=False "
+                "(the epoch-cached initial-embedding path)"
+            )
+        if self.ooc:
+            frozen = {
+                f"{side}_numeric_{sfx}" for side in self.ooc for sfx in ("w", "b")
+            }
+
+            def _labels(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "ooc"
+                    if (path and getattr(path[0], "key", None) in frozen)
+                    else "adam",
+                    params,
+                )
+
+            self.optimizer = optax.multi_transform(
+                {"adam": optax.adam(config.lr), "ooc": optax.set_to_zero()}, _labels
+            )
+        else:
+            self.optimizer = optax.adam(config.lr)
 
         self._bound = self.model.data_to_bind()
         if self.mesh is not None:
@@ -165,26 +192,52 @@ class Trainer:
             # over `model` via init_state's placement propagate through)
             batch_spec = NamedSharding(mesh, P(None, DATA_AXIS))
 
+        has_ooc = bool(self.ooc)
+        if has_ooc and not use_cache:
+            raise ValueError(
+                "out-of-core numeric features need the epoch-cached path "
+                "(a SAGE-family model with initial_tables; not full_graph_train)"
+            )
+
         def train_epoch(params, opt_state, key, graph, aliases, bound):
             with model.bind(bound):
                 edge_alias, neg_alias = aliases
 
                 if use_cache:
-                    tables0, tables_vjp = jax.vjp(model.initial_tables, params)
+                    if has_ooc:
+                        # vjp also w.r.t. the streamed numeric projections; the
+                        # scan accumulates their cotangents for the post-epoch
+                        # streamed X^T@G pass (data/ooc.py)
+                        tables0, tables_vjp = jax.vjp(
+                            lambda p, pr: model.initial_tables(p, ooc_proj=pr),
+                            params,
+                            model._ooc_proj,
+                        )
+                    else:
+                        tables0, tables_vjp = jax.vjp(model.initial_tables, params)
 
                     def cached_loss(p, t, batch, k):
                         return model.loss(p, graph, batch, k, tables=t)
 
                     def train_step(carry, inp):
-                        params, opt_state = carry
+                        if has_ooc:
+                            params, opt_state, acc = carry
+                        else:
+                            params, opt_state = carry
                         batch, k = inp
                         (loss, _aux), (g_p, g_t) = jax.value_and_grad(
                             cached_loss, argnums=(0, 1), has_aux=True
                         )(params, tables0, batch, k)
-                        (g_feat,) = tables_vjp(g_t)
+                        if has_ooc:
+                            g_feat, g_pr = tables_vjp(g_t)
+                            acc = jax.tree_util.tree_map(jnp.add, acc, g_pr)
+                        else:
+                            (g_feat,) = tables_vjp(g_t)
                         grads = jax.tree_util.tree_map(jnp.add, g_p, g_feat)
                         updates, opt_state = opt.update(grads, opt_state, params)
                         params = optax.apply_updates(params, updates)
+                        if has_ooc:
+                            return (params, opt_state, acc), loss
                         return (params, opt_state), loss
 
                 else:
@@ -220,9 +273,16 @@ class Trainer:
                         batches,
                     )
                 step_keys = jax.random.split(k_steps, nb)
-                (params, opt_state), losses = jax.lax.scan(
-                    train_step, (params, opt_state), (batches, step_keys)
-                )
+                carry0 = (params, opt_state)
+                if has_ooc and use_cache:
+                    carry0 = carry0 + (
+                        jax.tree_util.tree_map(jnp.zeros_like, model._ooc_proj),
+                    )
+                carry, losses = jax.lax.scan(train_step, carry0, (batches, step_keys))
+                if has_ooc and use_cache:
+                    params, opt_state, g_acc = carry
+                    return params, opt_state, jnp.mean(losses), g_acc
+                params, opt_state = carry
                 return params, opt_state, jnp.mean(losses)
 
         donate = (0, 1) if self.config.donate_params else ()
@@ -241,7 +301,9 @@ class Trainer:
 
     def train_one_epoch(self, params, opt_state):
         self._key, k = jax.random.split(self._key)
-        params, opt_state, loss = self._train_epoch(
+        if self.ooc:
+            self._refresh_bound(params)
+        out = self._train_epoch(
             params,
             opt_state,
             k,
@@ -249,10 +311,45 @@ class Trainer:
             (self.edge_alias, self.neg_alias),
             self._bound,
         )
+        if self.ooc:
+            params, opt_state, loss, g_acc = out
+            params = self._apply_ooc_update(params, g_acc)
+        else:
+            params, opt_state, loss = out
         self.step += 1
         return params, opt_state, float(loss)
 
+    def _refresh_bound(self, params):
+        """Recompute the streamed OOC numeric projections for ``params`` and
+        rebuild the bound data (mesh-replicated when sharded)."""
+        self.model.refresh_ooc_proj(params)
+        b = self.model.data_to_bind()
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            b = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep) if hasattr(x, "ndim") else x, b
+            )
+        self._bound = b
+
+    def _apply_ooc_update(self, params, g_acc):
+        """Epoch-delayed update of the OOC numeric linears: one streamed
+        X^T @ G pass per side (data/ooc.py), plain SGD at config.lr on the
+        step-mean gradient. Deviation (documented): the reference's dask
+        variant never trains (or uses) its numeric linears at all —
+        `/root/reference/model/textsage_dask.py:300-305` is commented out."""
+        from ..data.ooc import stream_project_grad
+
+        params = dict(params)
+        scale = self.config.lr / self.num_batches
+        for side, mm in self.ooc.items():
+            gw, gb = stream_project_grad(mm, g_acc[side])
+            params[f"{side}_numeric_w"] = params[f"{side}_numeric_w"] - scale * gw
+            params[f"{side}_numeric_b"] = params[f"{side}_numeric_b"] - scale * gb
+        return params
+
     def test(self, params) -> Dict[str, float]:
+        if self.ooc:
+            self._refresh_bound(params)
         results, _ = self.evaluator(params, self.eval_data, bound=self._bound)
         return results
 
