@@ -28,6 +28,11 @@ from furusato_recommend_tpu.models.registry import build_model  # noqa: E402
 from furusato_recommend_tpu.train.trainer import Trainer  # noqa: E402
 
 
+def _sampled_with_bind(model, params, graph, bound, key):
+    with model.bind(bound):
+        return model.propagate_sampled(params, graph, key)
+
+
 def main(train_emb: bool):
     cfg = ddp_flagship_config().replace(
         train_emb=train_emb, eval_user_batch=2048, topks=(10, 20)
@@ -68,6 +73,34 @@ def main(train_emb: bool):
     t0 = time.time()
     tr.test(params)
     eval_warm = time.time() - t0
+
+    # `--inference sample` at scale (verdict weak #9: never measured at scale):
+    # sampled-subgraph encoding of every entity, chunked by sample_infer_chunk
+    import jax.numpy as jnp
+
+    samp = jax.jit(
+        lambda p, g, b, k: _sampled_with_bind(model, p, g, b, k)
+    )
+    bound = model.data_to_bind()
+    k0 = jax.random.PRNGKey(0)
+    ue, ie = samp(params, ds.graph, bound, k0)
+    ue.block_until_ready()
+    t0 = time.time()
+    ue, ie = samp(params, ds.graph, bound, jax.random.PRNGKey(1))
+    float(jnp.sum(ue[:1, :1]))  # force (block_until_ready lies over the tunnel)
+    sample_infer_s = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "bench": "sample_inference",
+                "entities": ds.n_users + ds.m_items,
+                "chunk": cfg.sample_infer_chunk,
+                "total_s": round(sample_infer_s, 2),
+                "entities_per_sec": round((ds.n_users + ds.m_items) / sample_infer_s, 1),
+            }
+        ),
+        flush=True,
+    )
     print(
         json.dumps(
             {

@@ -60,7 +60,6 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1)
     p.add_argument("--ddp_recipe", action="store_true", help="weighted+capped DDP sampler recipe")
     p.add_argument("--loss_fn", type=str, default="bpr", choices=["bpr", "infonce"])
-    p.add_argument("--pallas_topk", action="store_true")
     p.add_argument("--ckpt_backend", type=str, default="npz", choices=["npz", "orbax"])
     p.add_argument("--auc", action="store_true")
     return p
@@ -109,7 +108,6 @@ def config_from_args(args: argparse.Namespace) -> Config:
         mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
         ckpt_backend=args.ckpt_backend,
         loss_fn=args.loss_fn,
-        use_pallas_topk=args.pallas_topk,
         compute_auc=args.auc,
     )
 

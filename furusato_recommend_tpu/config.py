@@ -127,7 +127,6 @@ class Config:
     eval_user_batch: int = 1024  # device-side eval tile (users per scoring block)
     donate_params: bool = True
     compute_auc: bool = False  # per-user AUC during eval (reference metric.py:149-158)
-    use_pallas_topk: bool = False  # streaming scoring+topk kernel (ops/pallas_topk.py)
     loss_fn: str = "bpr"  # "bpr" (reference) | "infonce" (in-batch sampled softmax)
     infonce_temperature: float = 0.1
 

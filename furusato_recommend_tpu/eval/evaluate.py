@@ -140,36 +140,6 @@ class Evaluator:
                 item_emb, NamedSharding(self.mesh, P(MODEL_AXIS, None))
             )
 
-        use_pallas = (
-            self.config.use_pallas_topk
-            and not self.config.compute_auc
-            and self.mesh is None
-        )
-
-        def pallas_topk_tile(users):
-            # streaming kernel retrieves kmax + slack, then the train positives
-            # are filtered out of the candidate list (no [B, M] buffer exists
-            # to scatter the sentinel into). Users with more than `slack`
-            # positives inside their top-(kmax+slack) would leak; slack is
-            # capped at 512 for VMEM reasons (documented bound).
-            from ..ops.csr_search import csr_contains
-            from ..ops.pallas_topk import streaming_topk
-
-            slack = min(self.max_train_degree, 512)
-            kp = self.kmax + slack
-            _, ids = streaming_topk(
-                user_emb[users].astype(jnp.float32),
-                item_emb.astype(jnp.float32),
-                kp,
-                interpret=jax.default_backend() != "tpu",
-            )
-            is_pos = csr_contains(graph.user_pos, users[:, None], ids)
-            order = jnp.argsort(
-                is_pos.astype(jnp.int32) * kp + jnp.arange(kp, dtype=jnp.int32)[None, :],
-                axis=1,
-            )
-            return jnp.take_along_axis(ids, order[:, : self.kmax], axis=1)
-
         def step(carry, inp):
             sums, cold_sums = carry
             users, valid = inp
@@ -188,9 +158,6 @@ class Evaluator:
                     sigmoid=self.model.score_sigmoid,
                     m_valid=m,
                 )
-            elif use_pallas:
-                scores = None
-                topk = pallas_topk_tile(users)
             else:
                 scores = self._score_tile(user_emb, item_emb, graph, users)
                 _, topk = jax.lax.top_k(scores, self.kmax)

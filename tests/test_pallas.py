@@ -1,14 +1,9 @@
 """Pallas kernel tests (interpret mode on CPU; compiled path exercised on TPU
 by bench/eval runs)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from furusato_recommend_tpu.config import Config
-from furusato_recommend_tpu.data import synthetic_dataset
-from furusato_recommend_tpu.eval.evaluate import Evaluator, build_eval_data
-from furusato_recommend_tpu.models.registry import build_model
 from furusato_recommend_tpu.ops.pallas_topk import streaming_topk
 
 
@@ -32,27 +27,14 @@ def test_streaming_topk_padding():
     assert np.asarray(i).max() < 130
 
 
-def test_evaluator_pallas_path_matches_xla(tiny_dataset, tiny_config):
-    model = build_model("mf", tiny_config, tiny_dataset.graph)
-    params = model.init(jax.random.PRNGKey(0))
-    max_deg = int(np.max(np.bincount(tiny_dataset.train_user, minlength=tiny_dataset.n_users)))
-    data = build_eval_data(tiny_dataset, tiny_config.eval_user_batch)
-
-    ev_xla = Evaluator(model, tiny_dataset.graph, tiny_config, max_train_degree=max_deg)
-    cfg_p = tiny_config.replace(use_pallas_topk=True)
-    ev_pal = Evaluator(model, tiny_dataset.graph, cfg_p, max_train_degree=max_deg)
-
-    r1, top1 = ev_xla(params, data)
-    r2, top2 = ev_pal(params, data)
-    np.testing.assert_allclose(r1["recall@10"], r2["recall@10"], atol=1e-6)
-    np.testing.assert_allclose(r1["ndcg@10"], r2["ndcg@10"], atol=1e-5)
-    # ids may differ only where the XLA path's sigmoid-ed f32 scores saturate
-    # to exact ties (the kernel ranks raw logits, strictly more precise);
-    # compare in the XLA path's own score space
-    import scipy.special
-
-    U = np.asarray(params["user_emb"]) @ np.asarray(params["item_emb"]).T
-    users = np.asarray(data.users).reshape(-1)[np.asarray(data.valid).reshape(-1)]
-    s1 = scipy.special.expit(np.take_along_axis(U[users], top1, axis=1)).astype(np.float32)
-    s2 = scipy.special.expit(np.take_along_axis(U[users], top2, axis=1)).astype(np.float32)
-    np.testing.assert_allclose(s1, s2, atol=1e-6)
+def test_streaming_topk_b_tiling():
+    """B larger than b_tile (and not a multiple): row blocks are independent,
+    padded query rows never leak into real outputs."""
+    rng = np.random.default_rng(2)
+    U = jnp.asarray(rng.standard_normal((19, 16)).astype(np.float32))
+    I = jnp.asarray(rng.standard_normal((257, 16)).astype(np.float32))
+    v, i = streaming_topk(U, I, k=4, tile=64, b_tile=8, interpret=True)
+    s = np.asarray(U) @ np.asarray(I).T
+    ref_i = np.argsort(-s, axis=1)[:, :4]
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_allclose(np.asarray(v), np.take_along_axis(s, ref_i, 1), rtol=1e-5)
