@@ -2,8 +2,8 @@
 real chip (the PERF.md production-scale shakeout, now reproducible —
 round-1 verdict weak #6 asked for a versioned bench line).
 
-100k users x 30k items, ~1.5M train edges, B=5000, weighted+capped sampling
-(TRAIN_ITERATIVE=3 -> ~4.7M samples/epoch), n/w/t features, d=32, L=2,
+100k users x 30k items, ~700k train edges, B=5000, weighted+capped sampling
+(TRAIN_ITERATIVE=3 -> ~2.1M samples/epoch), n/w/t features, d=32, L=2,
 fanout 5 — the reference's DDP flagship recipe (/root/reference/ddp.py:771-786).
 
 Prints one JSON line per measurement; run from the repo root:

@@ -21,20 +21,24 @@ import jax
 __all__ = ["initialize_multihost", "host_divergent_key", "is_primary_host"]
 
 
-def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None) -> None:
+def initialize_multihost(
+    coordinator_address=None, num_processes=None, process_id=None, timeout_s=None
+) -> None:
     """jax.distributed.initialize wrapper. On single-process runs (tests,
     one-chip dev, no coordinator requested) this is a no-op; a REQUESTED
     multi-host launch that fails raises instead of silently degrading to
     single-host (round-1 verdict weak #10), and the realized world size is
-    validated against the request."""
+    validated against the request. ``timeout_s`` bounds the rendezvous wait."""
     if coordinator_address is None and num_processes is None:
         # single-host default: nothing to do; jax.devices() already works
         return
+    kw = {} if timeout_s is None else {"initialization_timeout": timeout_s}
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kw,
         )
     except RuntimeError as e:
         if "already" not in str(e).lower():  # idempotent re-init is fine
