@@ -124,9 +124,21 @@ class SAGE(PairwiseModel):
             if feats.text is not None and ("t" in flags or ("r" in flags and side == "item")):
                 self._text_adj[side] = self._build_text_adj(feats.text, features.text_vocab)
 
-    @staticmethod
-    def _build_text_adj(text, vocab: int):
-        """[N, T, W] padded word ids -> PaddedAdjPair over (N*T) bag rows."""
+    # dense-block budget for the word->bag split (per side); frequent words'
+    # columns become one [n_bags, H] bf16 matmul in BOTH directions, which is
+    # what keeps the per-step word-table gradient off the gather path
+    TEXT_HUB_WORDS = 4096
+    TEXT_HUB_BUDGET = 512 * 1024 * 1024
+
+    @classmethod
+    def _build_text_adj(cls, text, vocab: int):
+        """[N, T, W] padded word ids -> PaddedAdjPair over (N*T) bag rows.
+
+        transpose_hub: words are Zipf sources while bags have degree <= W, so
+        the pair shares ONE word-hub split — the backward (the word-embedding
+        gradient, run once per training step under the epoch-cached tables
+        recipe) applies D^T as an MXU matmul instead of gathering one row per
+        (word, bag) slot (PERF.md "TextSAGE step breakdown")."""
         import numpy as np
 
         from ..ops.padded_adj import build_padded_pair
@@ -139,7 +151,16 @@ class SAGE(PairwiseModel):
         rows, words = rows[valid], words[valid]
         counts = np.bincount(rows, minlength=n * fields).astype(np.float64)
         weights = (1.0 / np.maximum(counts[rows], 1.0)).astype(np.float32)
-        return build_padded_pair(words, rows, weights, n * fields, vocab)
+        return build_padded_pair(
+            words,
+            rows,
+            weights,
+            n * fields,
+            vocab,
+            hub_count=cls.TEXT_HUB_WORDS,
+            transpose_hub=True,
+            hub_mem_budget=cls.TEXT_HUB_BUDGET,
+        )
 
     def _all_text_bags(self, params, side: str):
         """[N, T, word_dim] mean word embeddings for every entity (scatter-free)."""
@@ -478,7 +499,11 @@ class SAGE(PairwiseModel):
             levels.append(s.ids)
             level_valid.append(s.has_neighbors)
             edge_pos.append(s.edge_pos)
-        # initial features per level
+        # initial features per level. NB: plain XLA gathers on purpose — the
+        # Pallas VMEM scatter-add (ops/pallas_scatter.py) wins on an isolated
+        # 465k-row microbench but LOSES in-step (9 small launches + lane-packed
+        # predicated stores; measured 38 ms vs 15 ms full step, PERF.md), so it
+        # stays a standalone kernel.
         if tables is not None:
             user_x, item_x = tables
             xs = [

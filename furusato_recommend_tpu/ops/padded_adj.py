@@ -49,6 +49,12 @@ class PaddedAdj:
     num_dst: int = field(metadata=dict(static=True), default=0)
     hub_ids: Optional[jnp.ndarray] = None  # [H] int32 hub source ids
     hub_weights: Optional[jnp.ndarray] = None  # [num_dst, H] bf16 dense weights
+    # transpose-hub (build_padded_pair(transpose_hub=True)): this adjacency is
+    # the TRANSPOSE of one whose src-hub split produced dense D=[M, H]; the hub
+    # edges' contribution here is y[hub_scatter_ids] += D^T @ x — one MXU
+    # matmul + an H-row scatter instead of H high-degree gather rows.
+    hub_in_weights: Optional[jnp.ndarray] = None  # D: [M, H] bf16 (M = len(x))
+    hub_scatter_ids: Optional[jnp.ndarray] = None  # [H] int32 rows of y
 
 
 @jax.tree_util.register_dataclass
@@ -145,11 +151,51 @@ def build_padded_pair(
     num_dst: int,
     num_src: int,
     hub_count: int = 0,
+    transpose_hub: bool = False,
+    hub_mem_budget: int = 512 * 1024 * 1024,
 ) -> PaddedAdjPair:
-    return PaddedAdjPair(
-        fwd=build_padded_adj(src, dst, weight, num_dst, hub_count=hub_count),
-        bwd=build_padded_adj(dst, src, weight, num_src, hub_count=hub_count),
-    )
+    """transpose_hub=False: fwd and bwd each pick their own src-hub split
+    (right for the bipartite interaction graph, where both directions have
+    Zipf sources). transpose_hub=True: ONE split of the fwd sources is shared —
+    fwd uses the dense block D=[num_dst, H] as usual, and bwd applies D^T as a
+    matmul. Right when only the fwd sources are hubby (the text-bag word→bag
+    adjacency: words are Zipf, bags have degree ≤ text width), which otherwise
+    leaves the transpose — the per-step word-table gradient — fully on the
+    issue-rate-bound gather path (PERF.md "TextSAGE step breakdown")."""
+    if not transpose_hub:
+        return PaddedAdjPair(
+            fwd=build_padded_adj(src, dst, weight, num_dst, hub_count=hub_count),
+            bwd=build_padded_adj(dst, src, weight, num_src, hub_count=hub_count),
+        )
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float32)
+    hub_ids_arr = hub_w_arr = None
+    if hub_count > 0 and len(src):
+        max_h = max(int(hub_mem_budget // max(num_dst * 2, 1)), 0)
+        freq = np.bincount(src, minlength=num_src)
+        h = min(hub_count, max_h, num_src)
+        if h >= 64:
+            h = (h // 64) * 64
+            hub_ids = np.argsort(freq)[::-1][:h].copy()
+            is_hub = np.zeros(num_src, dtype=bool)
+            is_hub[hub_ids] = True
+            hub_col = np.full(num_src, -1, dtype=np.int64)
+            hub_col[hub_ids] = np.arange(h)
+            on_hub = is_hub[src]
+            dense = np.zeros((num_dst, h), dtype=np.float32)
+            np.add.at(dense, (dst[on_hub], hub_col[src[on_hub]]), weight[on_hub])
+            hub_ids_arr = jnp.asarray(hub_ids, jnp.int32)
+            hub_w_arr = jnp.asarray(dense, jnp.bfloat16)
+            src, dst, weight = src[~on_hub], dst[~on_hub], weight[~on_hub]
+    from dataclasses import replace
+
+    fwd = build_padded_adj(src, dst, weight, num_dst, hub_count=0)
+    bwd = build_padded_adj(dst, src, weight, num_src, hub_count=0)
+    if hub_w_arr is not None:
+        fwd = replace(fwd, hub_ids=hub_ids_arr, hub_weights=hub_w_arr)
+        bwd = replace(bwd, hub_in_weights=hub_w_arr, hub_scatter_ids=hub_ids_arr)
+    return PaddedAdjPair(fwd=fwd, bwd=bwd)
 
 
 def _apply(adj: PaddedAdj, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
@@ -173,6 +219,15 @@ def _apply(adj: PaddedAdj, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
     if adj.hub_weights is not None:
         xh = xc[adj.hub_ids].astype(jnp.bfloat16)  # [H, d] — small gather
         y = y + jnp.dot(adj.hub_weights, xh, preferred_element_type=jnp.float32)
+    if adj.hub_in_weights is not None:
+        # transpose-hub: D^T @ x on the MXU, then an H-row scatter
+        upd = jnp.einsum(
+            "mh,md->hd",
+            adj.hub_in_weights,
+            xc.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        y = y.at[adj.hub_scatter_ids].add(upd)
     return y.astype(x.dtype)
 
 

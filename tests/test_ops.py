@@ -118,6 +118,34 @@ def test_padded_adj_matches_scipy():
     np.testing.assert_allclose(gx, expect, rtol=1e-3, atol=1e-4)
 
 
+def test_padded_pair_transpose_hub_matches_scipy():
+    """transpose_hub=True (shared word-hub split, D^T matmul backward) must be
+    numerically identical to the plain pair: same fwd, same gradient."""
+    from furusato_recommend_tpu.ops.padded_adj import build_padded_pair, padded_spmm
+
+    rng = np.random.default_rng(7)
+    n_src, n_dst, e = 200, 90, 2500
+    # Zipf-ish sources so the hub split actually engages (H=64-aligned)
+    src = (n_src * rng.random(e) ** 3).astype(np.int64)
+    dst = rng.integers(0, n_dst, e)
+    w = rng.random(e).astype(np.float32)
+    x = rng.random((n_src, 8)).astype(np.float32)
+    pair = build_padded_pair(
+        src, dst, w, n_dst, n_src, hub_count=64, transpose_hub=True,
+        hub_mem_budget=1 << 30,
+    )
+    assert pair.fwd.hub_weights is not None, "hub split did not engage"
+    assert pair.bwd.hub_in_weights is not None
+    got = np.asarray(padded_spmm(pair, jnp.asarray(x), compute_dtype=jnp.float32))
+    a = sp.coo_matrix((w, (dst, src)), shape=(n_dst, n_src)).tocsr()
+    # fwd hub block is bf16 — tolerances account for it
+    np.testing.assert_allclose(got, a @ x, rtol=2e-2, atol=2e-2)
+    f = lambda x: jnp.sum(padded_spmm(pair, x, compute_dtype=jnp.float32) ** 2)
+    gx = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    expect = 2 * (a.T @ (a @ x))
+    np.testing.assert_allclose(gx, expect, rtol=2e-2, atol=2e-1)
+
+
 def test_segment_softmax_aggregate_matches_dense():
     from furusato_recommend_tpu.data import synthetic_dataset
     from furusato_recommend_tpu.ops.segment import segment_softmax_aggregate

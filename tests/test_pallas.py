@@ -1,10 +1,42 @@
 """Pallas kernel tests (interpret mode on CPU; compiled path exercised on TPU
 by bench/eval runs)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from furusato_recommend_tpu.ops.pallas_topk import streaming_topk
+
+
+def test_scatter_add_rows_matches_xla():
+    from furusato_recommend_tpu.ops.pallas_scatter import scatter_add_rows
+
+    rng = np.random.default_rng(3)
+    n, d, r = 300, 32, 5000  # r not a chunk multiple -> exercises padding
+    ids = jnp.asarray(rng.integers(0, n, r).astype(np.int32))
+    rows = jnp.asarray(rng.standard_normal((r, d)).astype(np.float32))
+    got = scatter_add_rows(ids, rows, n, interpret=True)
+    ref = jnp.zeros((n, d)).at[ids].add(rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_table_gather_grad_matches_xla():
+    """table_gather == table[ids] in value and gradient (CPU fallback path)."""
+    from furusato_recommend_tpu.ops.pallas_scatter import table_gather
+
+    rng = np.random.default_rng(4)
+    table = jnp.asarray(rng.standard_normal((50, 8)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 50, (7, 9)).astype(np.int32))
+
+    def f(t):
+        return jnp.sum(table_gather(t, ids) ** 2)
+
+    def f_ref(t):
+        return jnp.sum(t[ids] ** 2)
+
+    np.testing.assert_allclose(float(f(table)), float(f_ref(table)), rtol=1e-6)
+    g, g_ref = jax.grad(f)(table), jax.grad(f_ref)(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
 
 
 def test_streaming_topk_matches_argsort():
