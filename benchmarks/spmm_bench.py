@@ -273,6 +273,43 @@ def spmm_bench(ds):
             pad_slots=sum(int(np.prod(n.shape)) for n in adj.bucket_nbrs),
         )
 
+    # --- dst-hub ladder: hot DESTINATIONS as a dense [H, num_src] MXU block ---
+    if "--dsthub" in sys.argv:
+        for dh in (0, 512, 1024, 2048, 4096):
+            adj = build_padded_adj(
+                src, dst, w, nn, hub_count=1024, dst_hub_count=dh, num_src=nn,
+                hub_mem_budget=4 * 1024**3,
+            )
+            adj_pair = PaddedAdjPair(fwd=adj, bwd=adj)
+            dt_f = per_op(
+                lambda R: jax.jit(
+                    lambda p, x, i: lax.fori_loop(
+                        0, R, lambda _, y: padded_spmm(p, y), x + jnp.float32(i)
+                    )
+                ),
+                make_arg=lambda i: (adj_pair, x64, i),
+            )
+
+            def grad_prog_dh(R, pr=adj_pair):
+                def run(p, x, i):
+                    g = jax.grad(lambda z: jnp.sum(padded_spmm(p, z) ** 2))
+                    return lax.fori_loop(0, R, lambda _, y: g(y), x + jnp.float32(i))
+
+                return jax.jit(run)
+
+            dt_b = per_op(grad_prog_dh, make_arg=lambda i: (adj_pair, x64, i))
+            log(
+                bench="spmm_dsthub",
+                hub=1024,
+                dst_hub=dh,
+                dst_hub_h=0 if adj.dst_hub_ids is None else int(adj.dst_hub_ids.shape[0]),
+                fwd_ms=round(dt_f * 1e3, 2),
+                fwd_bwd_ms=round(dt_b * 1e3, 2),
+                tail_edges=sum(int((np.asarray(w_) > 0).sum()) for w_ in adj.bucket_weights),
+                pad_slots=sum(int(np.prod(n.shape)) for n in adj.bucket_nbrs),
+            )
+        return
+
     # --- the adopted op (padded_spmm with current defaults) ---
     adj = build_padded_adj(src, dst, w, nn, hub_count=1024)
     adj_pair = PaddedAdjPair(fwd=adj, bwd=adj)

@@ -178,6 +178,7 @@ def build_bipartite_graph(
     m_items: int,
     padded: bool = True,
     hub_count: int = 1024,
+    dst_hub_count: int = 1024,
     extra_edges=None,  # [(u_arr, i_arr), ...] additional relation edge sets
 ) -> BipartiteGraph:
     """Construct the device graph from COO interaction arrays.
@@ -243,8 +244,14 @@ def build_bipartite_graph(
         from ..ops.padded_adj import PaddedAdjPair, build_padded_adj, build_padded_pair
 
         # hub_count: Zipf hub sources go through a dense bf16 MXU block instead
-        # of random gathers (ops/padded_adj.py; measured 1.66x on fwd+bwd)
-        sym = build_padded_adj(src, dst, weight, n_users + m_items, hub_count=hub_count)
+        # of random gathers (ops/padded_adj.py; measured 1.66x on fwd+bwd).
+        # dst_hub_count: hot destinations' whole rows ride the MXU too
+        # (measured ladder in PERF.md "dst-hub").
+        n_nodes = n_users + m_items
+        sym = build_padded_adj(
+            src, dst, weight, n_nodes,
+            hub_count=hub_count, dst_hub_count=dst_hub_count, num_src=n_nodes,
+        )
         norm_padded = PaddedAdjPair(fwd=sym, bwd=sym)  # symmetric: A^T = A
         # mean aggregation runs over the MESSAGE edges (== train edges unless
         # extra relation edge sets are present)
@@ -252,11 +259,13 @@ def build_bipartite_graph(
         deg_i = np.maximum(np.bincount(msg_item, minlength=m_items), 1)
         w_mean_u = (1.0 / deg_u[msg_user]).astype(np.float32)
         user_agg = build_padded_pair(
-            msg_item, msg_user, w_mean_u, n_users, m_items, hub_count=hub_count
+            msg_item, msg_user, w_mean_u, n_users, m_items,
+            hub_count=hub_count, dst_hub_count=dst_hub_count,
         )
         w_mean_i = (1.0 / deg_i[msg_item]).astype(np.float32)
         item_agg = build_padded_pair(
-            msg_user, msg_item, w_mean_i, m_items, n_users, hub_count=hub_count
+            msg_user, msg_item, w_mean_i, m_items, n_users,
+            hub_count=hub_count, dst_hub_count=dst_hub_count,
         )
 
     dev = jnp.asarray

@@ -55,6 +55,13 @@ class PaddedAdj:
     # matmul + an H-row scatter instead of H high-degree gather rows.
     hub_in_weights: Optional[jnp.ndarray] = None  # D: [M, H] bf16 (M = len(x))
     hub_scatter_ids: Optional[jnp.ndarray] = None  # [H] int32 rows of y
+    # dst-hub split: high-degree DESTINATIONS get their whole adjacency row as
+    # a dense [H, num_src] bf16 block — one MXU matmul + an H-row scatter-add
+    # replaces deg(dst) issue-rate-bound gather rows each. Break-even degree is
+    # ~num_src/1000 on v5e (dense row = num_src*2B sequential ≈ num_src*2.5 ps
+    # vs ~2.5 ns per gathered row), so Zipf head destinations are far past it.
+    dst_hub_ids: Optional[jnp.ndarray] = None  # [H] int32 dst rows
+    dst_hub_weights: Optional[jnp.ndarray] = None  # [H, num_src] bf16
 
 
 @jax.tree_util.register_dataclass
@@ -73,12 +80,20 @@ def build_padded_adj(
     hub_count: int = 0,
     hub_mem_budget: int = 512 * 1024 * 1024,
     cap_growth: float = 1.26,
+    dst_hub_count: int = 0,
+    num_src: Optional[int] = None,
 ) -> PaddedAdj:
     """Host-side vectorized construction (numpy). Edges need not be sorted.
 
     hub_count > 0 splits the hub_count most frequent *sources* into a dense
     [num_dst, H] bf16 block (MXU path); shrunk/disabled if it would exceed
-    hub_mem_budget bytes."""
+    hub_mem_budget bytes.
+
+    dst_hub_count > 0 additionally splits up to that many highest-degree
+    *destinations* (degree counted after src-hub removal, and only those past
+    ~2x the dense/gather break-even degree num_src/500) into a dense
+    [H, num_src] bf16 block applied as one MXU matmul. Requires num_src.
+    Each dense block is independently capped at hub_mem_budget bytes."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float32)
@@ -101,6 +116,27 @@ def build_padded_adj(
             hub_ids_arr = jnp.asarray(hub_ids, jnp.int32)
             hub_w_arr = jnp.asarray(dense, jnp.bfloat16)
             src, dst, weight = src[~on_hub], dst[~on_hub], weight[~on_hub]
+    dst_hub_ids_arr = dst_hub_w_arr = None
+    if dst_hub_count > 0 and len(src):
+        if num_src is None:
+            raise ValueError("dst_hub_count > 0 requires num_src")
+        max_h = max(int(hub_mem_budget // max(num_src * 2, 1)), 0)
+        ddeg = np.bincount(dst, minlength=num_dst)
+        min_deg = max(num_src // 500, min_cap + 1)  # 2x dense/gather break-even
+        h = min(dst_hub_count, max_h, int((ddeg >= min_deg).sum()))
+        h = (h // 8) * 8  # sublane-align the hub axis
+        if h >= 8:
+            dhub = np.argsort(ddeg)[::-1][:h].copy()
+            is_dhub = np.zeros(num_dst, dtype=bool)
+            is_dhub[dhub] = True
+            dhub_row = np.full(num_dst, -1, dtype=np.int64)
+            dhub_row[dhub] = np.arange(h)
+            on_dhub = is_dhub[dst]
+            dense = np.zeros((h, num_src), dtype=np.float32)
+            np.add.at(dense, (dhub_row[dst[on_dhub]], src[on_dhub]), weight[on_dhub])
+            dst_hub_ids_arr = jnp.asarray(dhub, jnp.int32)
+            dst_hub_w_arr = jnp.asarray(dense, jnp.bfloat16)
+            src, dst, weight = src[~on_dhub], dst[~on_dhub], weight[~on_dhub]
     order = np.argsort(dst, kind="stable")
     src_s, w_s = src[order], weight[order]
     deg = np.bincount(dst, minlength=num_dst)
@@ -141,6 +177,8 @@ def build_padded_adj(
         num_dst=int(num_dst),
         hub_ids=hub_ids_arr,
         hub_weights=hub_w_arr,
+        dst_hub_ids=dst_hub_ids_arr,
+        dst_hub_weights=dst_hub_w_arr,
     )
 
 
@@ -153,6 +191,7 @@ def build_padded_pair(
     hub_count: int = 0,
     transpose_hub: bool = False,
     hub_mem_budget: int = 512 * 1024 * 1024,
+    dst_hub_count: int = 0,
 ) -> PaddedAdjPair:
     """transpose_hub=False: fwd and bwd each pick their own src-hub split
     (right for the bipartite interaction graph, where both directions have
@@ -164,8 +203,14 @@ def build_padded_pair(
     issue-rate-bound gather path (PERF.md "TextSAGE step breakdown")."""
     if not transpose_hub:
         return PaddedAdjPair(
-            fwd=build_padded_adj(src, dst, weight, num_dst, hub_count=hub_count),
-            bwd=build_padded_adj(dst, src, weight, num_src, hub_count=hub_count),
+            fwd=build_padded_adj(
+                src, dst, weight, num_dst, hub_count=hub_count,
+                dst_hub_count=dst_hub_count, num_src=num_src,
+            ),
+            bwd=build_padded_adj(
+                dst, src, weight, num_src, hub_count=hub_count,
+                dst_hub_count=dst_hub_count, num_src=num_dst,
+            ),
         )
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -228,6 +273,14 @@ def _apply(adj: PaddedAdj, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         )
         y = y.at[adj.hub_scatter_ids].add(upd)
+    if adj.dst_hub_weights is not None:
+        # dst-hub: whole rows of hot destinations ride the MXU
+        upd = jnp.dot(
+            adj.dst_hub_weights,
+            xc.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        y = y.at[adj.dst_hub_ids].add(upd)
     return y.astype(x.dtype)
 
 

@@ -118,6 +118,36 @@ def test_padded_adj_matches_scipy():
     np.testing.assert_allclose(gx, expect, rtol=1e-3, atol=1e-4)
 
 
+def test_padded_adj_dst_hub_matches_scipy():
+    """dst-hub split (hot destinations as a dense [H, num_src] MXU block) must
+    match the plain SpMM in fwd and gradient, alone and combined with the
+    src-hub split."""
+    from furusato_recommend_tpu.ops.padded_adj import build_padded_pair, padded_spmm
+
+    rng = np.random.default_rng(11)
+    n_src, n_dst, e = 220, 150, 4000
+    # Zipf-ish on BOTH sides so both hub splits engage
+    src = (n_src * rng.random(e) ** 3).astype(np.int64)
+    dst = (n_dst * rng.random(e) ** 3).astype(np.int64)
+    w = rng.random(e).astype(np.float32)
+    x = rng.random((n_src, 8)).astype(np.float32)
+    a = sp.coo_matrix((w, (dst, src)), shape=(n_dst, n_src)).tocsr()
+    for hub in (0, 64):
+        pair = build_padded_pair(
+            src, dst, w, n_dst, n_src, hub_count=hub, dst_hub_count=64,
+            hub_mem_budget=1 << 30,
+        )
+        assert pair.fwd.dst_hub_weights is not None, "dst-hub split did not engage"
+        assert pair.bwd.dst_hub_weights is not None
+        got = np.asarray(padded_spmm(pair, jnp.asarray(x), compute_dtype=jnp.float32))
+        # hub blocks are bf16 — tolerances account for it
+        np.testing.assert_allclose(got, a @ x, rtol=2e-2, atol=2e-2)
+        f = lambda x: jnp.sum(padded_spmm(pair, x, compute_dtype=jnp.float32) ** 2)
+        gx = np.asarray(jax.grad(f)(jnp.asarray(x)))
+        expect = 2 * (a.T @ (a @ x))
+        np.testing.assert_allclose(gx, expect, rtol=2e-2, atol=2e-1)
+
+
 def test_padded_pair_transpose_hub_matches_scipy():
     """transpose_hub=True (shared word-hub split, D^T matmul backward) must be
     numerically identical to the plain pair: same fwd, same gradient."""
