@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 if TYPE_CHECKING:
+    from ..ops.cuckoo import CuckooSet
     from ..ops.padded_adj import PaddedAdjPair
 
 __all__ = ["CSR", "COOEdges", "BipartiteGraph", "build_bipartite_graph", "build_relational_graph"]
@@ -120,6 +121,11 @@ class BipartiteGraph:
     msg_user_pos: Optional[CSR] = None
     msg_item_pos: Optional[CSR] = None
     msg_item_edge_perm: Optional[jnp.ndarray] = None
+
+    # cuckoo membership set over the train (user, item) pairs: the sampler's
+    # negative-rejection test in 2 independent gathers instead of a
+    # log2(max_degree)-deep dependent binary-search chain (ops/cuckoo.py)
+    pos_hash: Optional["CuckooSet"] = None
 
     #: static max row lengths — tight bounds for binary-search depth and eval
     #: padding (0 = unknown; consumers fall back to conservative defaults)
@@ -268,6 +274,8 @@ def build_bipartite_graph(
             hub_count=hub_count, dst_hub_count=dst_hub_count,
         )
 
+    from ..ops.cuckoo import build_cuckoo_set
+
     dev = jnp.asarray
     return BipartiteGraph(
         n_users=int(n_users),
@@ -285,6 +293,7 @@ def build_bipartite_graph(
         msg_user_pos=msg_user_pos,
         msg_item_pos=msg_item_pos,
         msg_item_edge_perm=None if msg_item_edge_perm is None else dev(msg_item_edge_perm),
+        pos_hash=build_cuckoo_set(train_user, train_item),
         max_user_degree=int((up_indptr[1:] - up_indptr[:-1]).max(initial=0)),
         max_test_degree=int((tp_indptr[1:] - tp_indptr[:-1]).max(initial=0)),
     )

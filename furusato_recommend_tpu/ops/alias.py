@@ -39,7 +39,11 @@ class AliasTable:
         k1, k2 = jax.random.split(key)
         slot = jax.random.randint(k1, shape, 0, self.n)
         u = jax.random.uniform(k2, shape)
-        return jnp.where(u < self.prob[slot], slot, self.alias[slot])
+        # flat gathers: multi-dim-shaped scalar gathers lower ~6x worse on TPU
+        # (ops/csr_search.py lower_bound; PERF.md "sampler probes")
+        slot_f = slot.ravel()
+        out = jnp.where(u.ravel() < self.prob[slot_f], slot_f, self.alias[slot_f])
+        return out.reshape(shape)
 
 
 def build_alias_table(weights: np.ndarray) -> AliasTable:

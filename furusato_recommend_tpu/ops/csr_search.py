@@ -39,21 +39,29 @@ def lower_bound(
     so callers that know the max row length should pass a tight bound — this is
     the sampler's hot loop (PERF: dropped epoch sampling 3.4s -> ~0.4s at 1.5M
     draws by using log2(max_degree) instead of 32).
+
+    The search runs over RAVELED index arrays: a [N, K]-shaped scalar gather
+    lowers ~6x worse per element than the same gather flattened to [N*K]
+    (measured 510 -> ~90 ms on the 1.5M x 4 sampler membership test,
+    benchmarks/sampler_bench.py; PERF.md "sampler probes").
     """
     nnz = indices.shape[0]
+    lo_b, hi_b, vals_b = jnp.broadcast_arrays(lo, hi, vals)
+    shape = lo_b.shape
+    lo_b, hi_b, vals_f = lo_b.ravel(), hi_b.ravel(), vals_b.ravel()
 
     def body(_, carry):
         lo_c, hi_c = carry
         active = lo_c < hi_c
         mid = (lo_c + hi_c) // 2
         v = indices[jnp.clip(mid, 0, max(nnz - 1, 0))]
-        go_right = v < vals
+        go_right = v < vals_f
         lo_n = jnp.where(active & go_right, mid + 1, lo_c)
         hi_n = jnp.where(active & ~go_right, mid, hi_c)
         return lo_n, hi_n
 
-    lo_f, _ = jax.lax.fori_loop(0, max(iters, 1), body, (lo, hi))
-    return lo_f
+    lo_f, _ = jax.lax.fori_loop(0, max(iters, 1), body, (lo_b, hi_b))
+    return lo_f.reshape(shape)
 
 
 def csr_contains(
@@ -68,13 +76,15 @@ def csr_contains(
     rows = jnp.asarray(rows)
     vals = jnp.asarray(vals)
     rows_b, vals_b = jnp.broadcast_arrays(rows, vals)
-    lo = csr.indptr[rows_b]
-    hi = csr.indptr[rows_b + 1]
-    pos = lower_bound(csr.indices, lo, hi, vals_b, iters=iters)
+    shape = rows_b.shape
+    rows_f, vals_f = rows_b.ravel(), vals_b.ravel()  # flat gathers: see lower_bound
+    lo = csr.indptr[rows_f]
+    hi = csr.indptr[rows_f + 1]
+    pos = lower_bound(csr.indices, lo, hi, vals_f, iters=iters)
     nnz = csr.indices.shape[0]
     in_row = pos < hi
-    found = csr.indices[jnp.clip(pos, 0, max(nnz - 1, 0))] == vals_b
-    return in_row & found
+    found = csr.indices[jnp.clip(pos, 0, max(nnz - 1, 0))] == vals_f
+    return (in_row & found).reshape(shape)
 
 
 def csr_row_ids(csr: CSR) -> jnp.ndarray:
@@ -99,6 +109,7 @@ def csr_gather_padded(csr: CSR, rows: jnp.ndarray, pad_to: int, fill: int = -1):
     offs = jnp.arange(pad_to, dtype=jnp.int32)
     idx = start[..., None] + offs
     mask = offs < deg[..., None]
-    vals = csr.indices[jnp.clip(idx, 0, max(nnz - 1, 0))]
+    # flat gather: multi-dim-shaped scalar gathers lower ~6x worse (lower_bound)
+    vals = csr.indices[jnp.clip(idx, 0, max(nnz - 1, 0)).ravel()].reshape(idx.shape)
     vals = jnp.where(mask, vals, fill)
     return vals, mask

@@ -48,6 +48,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lev_ratio_consecutive.restype = None
         lib.parse_adjacency.restype = ctypes.c_int64
         lib.bpr_sample.restype = None
+        try:
+            lib.cuckoo_build.restype = ctypes.c_int64
+        except AttributeError:  # stale .so predating the symbol
+            pass
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain dependent
         print(f"[native] C++ kernels unavailable ({e}); using Python fallbacks")

@@ -82,8 +82,17 @@ def sample_bpr(
         cand = neg_alias.sample(k_neg, (num_samples, neg_candidates))
     else:
         cand = jax.random.randint(k_neg, (num_samples, neg_candidates), 0, graph.m_items)
-    max_deg = graph.max_user_degree or None  # tight static search depth
-    is_pos = csr_contains(csr, user[:, None], cand, max_row_len=max_deg)  # [N, K]
+    if graph.pos_hash is not None:
+        # cuckoo membership: 2 independent gathers per candidate vs the
+        # log2(max_degree)-deep dependent binary-search chain (3.9x sampler
+        # speedup at 1.5M x 4, PERF.md "sampler probes"); false-positive bias
+        # ~edges/2^32 per query (ops/cuckoo.py)
+        from ..ops.cuckoo import cuckoo_contains
+
+        is_pos = cuckoo_contains(graph.pos_hash, user[:, None], cand)  # [N, K]
+    else:
+        max_deg = graph.max_user_degree or None  # tight static search depth
+        is_pos = csr_contains(csr, user[:, None], cand, max_row_len=max_deg)  # [N, K]
     ok = ~is_pos
     # index of first acceptable candidate; if none, argmax returns 0 and we fall
     # back to the last candidate (astronomically rare; see module docstring)

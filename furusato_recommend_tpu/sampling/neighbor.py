@@ -36,13 +36,19 @@ class SampledNeighbors(NamedTuple):
 
 def sample_neighbors(key: jax.Array, csr: CSR, nodes: jnp.ndarray, fanout: int) -> SampledNeighbors:
     nnz = csr.indices.shape[0]
-    start = csr.indptr[nodes]
-    deg = csr.indptr[nodes + 1] - start
-    r = jax.random.randint(key, nodes.shape + (fanout,), 0, 1 << 30)
-    r = r % jnp.maximum(deg, 1)[..., None]
-    pos = jnp.clip(start[..., None] + r, 0, max(nnz - 1, 0))
+    # flat gathers: multi-dim-shaped scalar gathers lower ~6x worse on TPU
+    # (ops/csr_search.py lower_bound; PERF.md "sampler probes")
+    nodes_f = nodes.ravel()
+    start = csr.indptr[nodes_f]
+    deg = csr.indptr[nodes_f + 1] - start
+    r = jax.random.randint(key, (nodes_f.shape[0], fanout), 0, 1 << 30)
+    r = r % jnp.maximum(deg, 1)[:, None]
+    pos = jnp.clip(start[:, None] + r, 0, max(nnz - 1, 0))
+    ids = csr.indices[pos.ravel()].reshape(nodes.shape + (fanout,))
     return SampledNeighbors(
-        ids=csr.indices[pos], edge_pos=pos.astype(jnp.int32), has_neighbors=deg > 0
+        ids=ids,
+        edge_pos=pos.astype(jnp.int32).reshape(nodes.shape + (fanout,)),
+        has_neighbors=(deg > 0).reshape(nodes.shape),
     )
 
 

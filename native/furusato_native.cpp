@@ -127,4 +127,59 @@ void bpr_sample(const int64_t* indptr, const int64_t* indices, int64_t n_users,
   }
 }
 
+// Partial-key cuckoo set build (ops/cuckoo.py). Slot math MUST match the
+// murmur3-fmix32 mixing in ops/cuckoo.py exactly — the device membership test
+// recomputes h1/h2 from the same fingerprints.
+static inline uint32_t fmix32(uint32_t h) {
+  h ^= h >> 16;
+  h *= 0x85EBCA6Bu;
+  h ^= h >> 13;
+  h *= 0xC2B2AE35u;
+  h ^= h >> 16;
+  return h;
+}
+
+static inline uint64_t cuckoo_h1(uint32_t fp, uint64_t mask) {
+  return fmix32(fp ^ 0xC2B2AE3Du) & mask;
+}
+
+static inline uint64_t cuckoo_alt(uint64_t slot, uint32_t fp, uint64_t mask) {
+  return slot ^ (fmix32(fp ^ 0x165667B1u) & mask);
+}
+
+// fps: [n] non-zero fingerprints; tab: [size] zero-initialized (0 = empty),
+// size a power of two. Returns the number of keys that could not be placed
+// within max_kicks evictions (caller grows the table and retries on > 0).
+int64_t cuckoo_build(const uint32_t* fps, int64_t n, uint32_t* tab,
+                     int64_t size, int64_t max_kicks) {
+  const uint64_t mask = (uint64_t)size - 1;
+  int64_t failed = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t fp = fps[i];
+    uint64_t s1 = cuckoo_h1(fp, mask);
+    if (tab[s1] == fp) continue;  // set semantics: dedup
+    uint64_t s2 = cuckoo_alt(s1, fp, mask);
+    if (tab[s2] == fp) continue;
+    if (tab[s1] == 0) { tab[s1] = fp; continue; }
+    if (tab[s2] == 0) { tab[s2] = fp; continue; }
+    // evict: random-walk starting at s1
+    uint32_t cur = fp;
+    uint64_t slot = s1;
+    bool placed = false;
+    for (int64_t k = 0; k < max_kicks; ++k) {
+      uint32_t tmp = tab[slot];
+      tab[slot] = cur;
+      cur = tmp;
+      slot = cuckoo_alt(slot, cur, mask);
+      if (tab[slot] == 0 || tab[slot] == cur) {
+        tab[slot] = cur;
+        placed = true;
+        break;
+      }
+    }
+    if (!placed) ++failed;  // cur is dropped; caller retries with bigger table
+  }
+  return failed;
+}
+
 }  // extern "C"

@@ -118,6 +118,40 @@ def test_padded_adj_matches_scipy():
     np.testing.assert_allclose(gx, expect, rtol=1e-3, atol=1e-4)
 
 
+def test_cuckoo_set_membership():
+    """No false negatives; false positives bounded by the fingerprint-collision
+    rate; C++ and numpy builds produce identical tables."""
+    from furusato_recommend_tpu.ops.cuckoo import (
+        _build_numpy,
+        _fingerprints,
+        build_cuckoo_set,
+        cuckoo_contains,
+    )
+
+    rng = np.random.default_rng(3)
+    n_u, m_i, e = 4000, 2500, 50_000
+    u = rng.integers(0, n_u, e)
+    v = rng.integers(0, m_i, e)
+    cs = build_cuckoo_set(u, v)
+    # every inserted pair is found
+    hit = np.asarray(cuckoo_contains(cs, jnp.asarray(u, jnp.int32), jnp.asarray(v, jnp.int32)))
+    assert hit.all()
+    # random queries: false-positive rate ~edges/2^32 (allow generous slack)
+    qu = rng.integers(0, n_u, 100_000)
+    qv = rng.integers(0, m_i, 100_000)
+    member = set(zip(u.tolist(), v.tolist()))
+    truth = np.fromiter(
+        ((a, b) in member for a, b in zip(qu.tolist(), qv.tolist())), bool, 100_000
+    )
+    got = np.asarray(cuckoo_contains(cs, jnp.asarray(qu, jnp.int32), jnp.asarray(qv, jnp.int32)))
+    assert not (truth & ~got).any()  # no false negatives on queries either
+    assert int((got & ~truth).sum()) <= 20
+    # numpy fallback build bit-identical to the C++ kernel's table
+    tab2 = np.zeros(cs.table.shape[0], np.uint32)
+    assert _build_numpy(np.ascontiguousarray(_fingerprints(u, v)), tab2, 500) == 0
+    np.testing.assert_array_equal(np.asarray(cs.table), tab2)
+
+
 def test_padded_adj_dst_hub_matches_scipy():
     """dst-hub split (hot destinations as a dense [H, num_src] MXU block) must
     match the plain SpMM in fwd and gradient, alone and combined with the
