@@ -156,6 +156,20 @@ def main():
             dt = per_op(rep_prog(member), lambda i: (key, i))
             log(bench="sampler", variant="membership", K=K, iters=iters_, ms=round(dt * 1e3, 1))
 
+    # 5. weighted edge sampling (--sample_pow path): edge->user recovery as the
+    # log2(nnz)-deep dependent searchsorted chain vs one flat user_pos_row gather
+    from furusato_recommend_tpu.sampling.weights import (  # noqa: E402
+        edge_alias_from_weights,
+        popularity_positive_edge_weights,
+    )
+
+    ea = edge_alias_from_weights(popularity_positive_edge_weights(ds, 0.5))
+    g_norow = _dc.replace(g, user_pos_row=None)
+    for variant, gg in (("edge_alias_flat_row", g), ("edge_alias_searchsorted", g_norow)):
+        body = lambda k, gg=gg: sample_bpr(k, gg, N, neg_candidates=4, edge_alias=ea).neg
+        dt = per_op(rep_prog(body), lambda i: (key, i))
+        log(bench="sampler", variant=variant, K=4, ms=round(dt * 1e3, 1))
+
 
 if __name__ == "__main__":
     main()

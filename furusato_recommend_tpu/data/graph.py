@@ -127,6 +127,11 @@ class BipartiteGraph:
     # log2(max_degree)-deep dependent binary-search chain (ops/cuckoo.py)
     pos_hash: Optional["CuckooSet"] = None
 
+    # [nnz] user id of each user_pos CSR entry: the weighted edge sampler's
+    # edge->user recovery as ONE flat gather instead of a log2(nnz)-deep
+    # dependent searchsorted chain per draw (sampling/bpr.py edge_alias path)
+    user_pos_row: Optional[jnp.ndarray] = None
+
     #: static max row lengths — tight bounds for binary-search depth and eval
     #: padding (0 = unknown; consumers fall back to conservative defaults)
     max_user_degree: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -294,6 +299,11 @@ def build_bipartite_graph(
         msg_item_pos=msg_item_pos,
         msg_item_edge_perm=None if msg_item_edge_perm is None else dev(msg_item_edge_perm),
         pos_hash=build_cuckoo_set(train_user, train_item),
+        user_pos_row=dev(
+            np.repeat(
+                np.arange(n_users, dtype=np.int32), up_indptr[1:] - up_indptr[:-1]
+            )
+        ),
         max_user_degree=int((up_indptr[1:] - up_indptr[:-1]).max(initial=0)),
         max_test_degree=int((tp_indptr[1:] - tp_indptr[:-1]).max(initial=0)),
     )

@@ -66,8 +66,12 @@ def sample_bpr(
 
     if edge_alias is not None:
         e = edge_alias.sample(k_user, (num_samples,))
-        # recover user by binary search of edge position into indptr
-        user = jnp.searchsorted(csr.indptr, e, side="right").astype(jnp.int32) - 1
+        if graph.user_pos_row is not None:
+            # edge->user as one flat gather (graph.user_pos_row) instead of a
+            # log2(nnz)-deep dependent searchsorted chain per draw
+            user = graph.user_pos_row[e].astype(jnp.int32)
+        else:
+            user = jnp.searchsorted(csr.indptr, e, side="right").astype(jnp.int32) - 1
         pos = csr.indices[e]
         valid = jnp.ones((num_samples,), dtype=bool)
     else:
