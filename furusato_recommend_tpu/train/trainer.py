@@ -145,6 +145,7 @@ class Trainer:
             self._bound = jax.tree_util.tree_map(_rep, self._bound)
 
         self._train_epoch = self._build_train_epoch()
+        self._sample_epoch = self._build_sample_epoch()
 
         max_deg = int(np.max(np.bincount(dataset.train_user, minlength=dataset.n_users)))
         self.evaluator = Evaluator(
@@ -160,14 +161,13 @@ class Trainer:
 
     # -- compiled epoch --
     def _build_train_epoch(self):
-        """The whole epoch as one jitted program. The graph, sampler alias
-        tables, and model-held device data flow through the jit boundary as
-        ARGUMENTS — closing over them would bake them into the executable as
-        constants (bloats compiles; overflows remote-compile payloads at
-        production scale)."""
+        """The epoch's train scan as one jitted program, consuming the batches
+        the companion _sample_epoch program produced. The graph and model-held
+        device data flow through the jit boundary as ARGUMENTS — closing over
+        them would bake them into the executable as constants (bloats
+        compiles; overflows remote-compile payloads at production scale)."""
         model, opt = self.model, self.optimizer
-        bs, nb = self.config.bpr_batch_size, self.num_batches
-        neg_k = self.config.neg_candidates
+        nb = self.num_batches
         # train_emb=False (reference default): compute the all-entity initial
         # (feature) embeddings ONCE per epoch and reuse the epoch-start
         # linearization (jax.vjp) for their gradients in every step — the
@@ -182,16 +182,6 @@ class Trainer:
             and not getattr(model, "full_graph_train", False)
             and "tables" in inspect.signature(model.loss).parameters
         )
-        mesh = self.mesh
-        batch_spec = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            # [num_batches, B] sampled tiles: shard each tile over `data` so
-            # every scan step is a data-parallel SPMD step (tables row-sharded
-            # over `model` via init_state's placement propagate through)
-            batch_spec = NamedSharding(mesh, P(None, DATA_AXIS))
-
         has_ooc = bool(self.ooc)
         if has_ooc and not use_cache:
             raise ValueError(
@@ -199,10 +189,8 @@ class Trainer:
                 "(a SAGE-family model with initial_tables; not full_graph_train)"
             )
 
-        def train_epoch(params, opt_state, key, graph, aliases, bound):
+        def train_epoch(params, opt_state, key, graph, batches, bound):
             with model.bind(bound):
-                edge_alias, neg_alias = aliases
-
                 if use_cache:
                     if has_ooc:
                         # vjp also w.r.t. the streamed numeric projections; the
@@ -252,26 +240,9 @@ class Trainer:
                         params = optax.apply_updates(params, updates)
                         return (params, opt_state), loss
 
-                k_sample, k_steps = jax.random.split(key)
-                s = sample_bpr(
-                    k_sample,
-                    graph,
-                    nb * bs,
-                    neg_candidates=neg_k,
-                    edge_alias=edge_alias,
-                    neg_alias=neg_alias,
-                )
-                batches = BPRBatch(
-                    user=s.user.reshape(nb, bs),
-                    pos=s.pos.reshape(nb, bs),
-                    neg=s.neg.reshape(nb, bs),
-                    valid=s.valid.reshape(nb, bs),
-                )
-                if batch_spec is not None:
-                    batches = jax.tree_util.tree_map(
-                        lambda x: jax.lax.with_sharding_constraint(x, batch_spec),
-                        batches,
-                    )
+                # same key stream as when the epoch was one program: the
+                # companion _sample_epoch program consumed split(key)[0]
+                _, k_steps = jax.random.split(key)
                 step_keys = jax.random.split(k_steps, nb)
                 carry0 = (params, opt_state)
                 if has_ooc and use_cache:
@@ -288,6 +259,52 @@ class Trainer:
         donate = (0, 1) if self.config.donate_params else ()
         return jax.jit(train_epoch, donate_argnums=donate)
 
+    def _build_sample_epoch(self):
+        """The epoch's sampling as its OWN jitted program, dispatched before
+        the scan program. Deliberately not inlined into the epoch: compiled
+        into one program with the train scan, XLA schedules the sampler's flat
+        gathers ~10x slower (2.27 s vs 211 ms for the flagship's 2.105M
+        weighted triplets — benchmarks/trainer_epoch_probe.py /
+        sample_incontext_probe.py); as a separate dispatch the batches
+        materialize in HBM at the standalone rate and the scan program starts
+        from them. Same key stream: this program consumes split(key)[0], the
+        scan program split(key)[1]."""
+        bs, nb = self.config.bpr_batch_size, self.num_batches
+        neg_k = self.config.neg_candidates
+        batch_spec = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_spec = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        def sample_epoch(key, graph, aliases):
+            edge_alias, neg_alias = aliases
+            k_sample, _ = jax.random.split(key)
+            s = sample_bpr(
+                k_sample,
+                graph,
+                nb * bs,
+                neg_candidates=neg_k,
+                edge_alias=edge_alias,
+                neg_alias=neg_alias,
+            )
+            batches = BPRBatch(
+                user=s.user.reshape(nb, bs),
+                pos=s.pos.reshape(nb, bs),
+                neg=s.neg.reshape(nb, bs),
+                valid=s.valid.reshape(nb, bs),
+            )
+            if batch_spec is not None:
+                # [num_batches, B] tiles sharded over `data`: every scan step
+                # of the train program is a data-parallel SPMD step
+                batches = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, batch_spec),
+                    batches,
+                )
+            return batches
+
+        return jax.jit(sample_epoch)
+
     # -- public API --
     def init_state(self, seed: Optional[int] = None):
         key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
@@ -303,12 +320,13 @@ class Trainer:
         self._key, k = jax.random.split(self._key)
         if self.ooc:
             self._refresh_bound(params)
+        batches = self._sample_epoch(k, self.graph, (self.edge_alias, self.neg_alias))
         out = self._train_epoch(
             params,
             opt_state,
             k,
             self.graph,
-            (self.edge_alias, self.neg_alias),
+            batches,
             self._bound,
         )
         if self.ooc:
