@@ -141,7 +141,7 @@ class Evaluator:
             )
 
         def step(carry, inp):
-            sums, cold_sums = carry
+            sums, cold_sums, cov = carry
             users, valid = inp
             if self.mesh is not None:
                 from ..eval.sharded import sharded_masked_topk
@@ -199,7 +199,13 @@ class Evaluator:
                         (len(self.topks),),
                     )
                 cold_sums = jax.tree_util.tree_map(jnp.add, cold_sums, cb)
-            return (sums, cold_sums), topk
+            # corpus-level coverage accumulates on device (a [nk, M] hit-bitmap
+            # scatter) so evals don't have to fetch the full top-k id buffer —
+            # an 8 MB host transfer per eval at the flagship shape
+            for i, k in enumerate(self.topks):
+                ids = jnp.where(valid[:, None], topk[:, :k], m)  # pad rows -> dropped
+                cov = cov.at[i, ids.ravel()].set(True, mode="drop")
+            return (sums, cold_sums, cov), topk
 
         nk = len(self.topks)
         zero_sums = {
@@ -216,15 +222,21 @@ class Evaluator:
             zero_sums["novelty"] = jnp.zeros(nk)
         if self.config.compute_auc:
             zero_sums["auc"] = jnp.zeros(nk)
-        (sums, cold_sums), topks = jax.lax.scan(
-            step, (zero_sums, zero_sums), (data.users, data.valid)
+        cov0 = jnp.zeros((nk, m), bool)
+        (sums, cold_sums, cov), topks = jax.lax.scan(
+            step, (zero_sums, zero_sums, cov0), (data.users, data.valid)
         )
-        return sums, cold_sums, topks
+        return sums, cold_sums, jnp.sum(cov, axis=1), topks
 
     def __call__(
-        self, params: Params, data: EvalData, bound=None, pmi: Optional[np.ndarray] = None
-    ) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
-        """Returns (results, topk_ids [n_test_users_padded, Kmax]).
+        self,
+        params: Params,
+        data: EvalData,
+        bound=None,
+        pmi: Optional[np.ndarray] = None,
+        with_topk: bool = True,
+    ) -> Tuple[Dict[str, np.ndarray], Optional[np.ndarray]]:
+        """Returns (results, topk_ids [n_valid_test_users, Kmax] or None).
 
         results keys: {metric}@{k} floats + 'coverage@{k}' + (cold_* if enabled).
         bound: pre-placed model-held device data (Trainer passes its replicated
@@ -233,23 +245,29 @@ class Evaluator:
         (mean PMI between each user's train positives and recommendations,
         the computation `/root/reference/metric.py:127-140` stubs out);
         without it the reference's stub value is reproduced.
+        with_topk: False skips fetching the per-user top-k id buffer to the
+        host (metrics incl. coverage are device-side sums) — the Trainer's eval
+        cadence uses this; result dumps / the rank tier need the ids.
         """
         if bound is None:
             bound = self.model.data_to_bind()
-        sums, cold_sums, topks = self._run(self.graph, params, data, bound)
+        sums, cold_sums, cov_counts, topks = self._run(self.graph, params, data, bound)
         sums = jax.device_get(sums)
         n = float(sums.pop("count"))
         results: Dict[str, float] = {}
         for name, vals in sums.items():
             for i, k in enumerate(self.topks):
                 results[f"{name}@{k}"] = float(vals[i]) / max(n, 1.0)
-        # corpus-level coverage, exact per-k from the stored topk ids
-        topks_np = np.asarray(jax.device_get(topks)).reshape(-1, self.kmax)
-        valid_np = np.asarray(jax.device_get(data.valid)).reshape(-1)
-        users_np = np.asarray(jax.device_get(data.users)).reshape(-1)[valid_np]
-        shown = topks_np[valid_np]
-        for k in self.topks:
-            results[f"coverage@{k}"] = len(np.unique(shown[:, :k])) / self.model.m_items
+        # corpus-level coverage — unique recommended items, counted on device
+        cov_counts = jax.device_get(cov_counts)
+        for i, k in enumerate(self.topks):
+            results[f"coverage@{k}"] = float(cov_counts[i]) / self.model.m_items
+        shown = None
+        if with_topk or pmi is not None:
+            topks_np = np.asarray(jax.device_get(topks)).reshape(-1, self.kmax)
+            valid_np = np.asarray(jax.device_get(data.valid)).reshape(-1)
+            users_np = np.asarray(jax.device_get(data.users)).reshape(-1)[valid_np]
+            shown = topks_np[valid_np]
         if pmi is not None:
             from .metrics import unexpectedness_from_pmi
 

@@ -469,6 +469,25 @@ class SAGE(PairwiseModel):
         return user_emb, item_emb
 
     # ---- sampled-tree encoder (training path) ----
+    def sample_seed_tree(self, graph: BipartiteGraph, seeds, seed_side: str, key):
+        """The fanout tree of one seed batch, as data: list of L
+        SampledNeighbors (level l+1 sampled from level l's nodes). Split out of
+        encode_seeds so callers may presample trees (e.g. in the epoch's
+        sampling program) and pass them through ``tree=``."""
+        L, F = self.n_layers, self.fanout
+        sides = [seed_side]
+        for _ in range(L):
+            sides.append("item" if sides[-1] == "user" else "user")
+        out = []
+        frontier = seeds
+        for l in range(L):
+            key, k = jax.random.split(key)
+            csr = graph.prop_user_pos if sides[l] == "user" else graph.prop_item_pos
+            s = sample_neighbors(k, csr, frontier, F)
+            out.append(s)
+            frontier = s.ids
+        return out
+
     def encode_seeds(
         self,
         params: Params,
@@ -478,12 +497,15 @@ class SAGE(PairwiseModel):
         key: jax.Array,
         train: bool,
         tables=None,
+        tree=None,
     ) -> jnp.ndarray:
         """Fanout-tree SAGE forward for single-side seed nodes (local ids).
 
         tables: optional (user_x, item_x) precomputed initial embeddings —
         levels then gather node_dim rows instead of assembling raw features per
-        tree occurrence (see _initial_all)."""
+        tree occurrence (see _initial_all).
+        tree: optional presampled fanout tree (sample_seed_tree output); None =
+        sample here. NB: when given, ``key`` is only consumed for dropout."""
         L, F = self.n_layers, self.fanout
         sides = [seed_side]
         for _ in range(L):
@@ -493,9 +515,12 @@ class SAGE(PairwiseModel):
         level_valid = [None]  # has_neighbors mask per level (for aggregation)
         edge_pos: List[Optional[jnp.ndarray]] = [None]
         for l in range(L):
-            key, k = jax.random.split(key)
-            csr = graph.prop_user_pos if sides[l] == "user" else graph.prop_item_pos
-            s = sample_neighbors(k, csr, levels[l], F)
+            if tree is not None:
+                s = tree[l]
+            else:
+                key, k = jax.random.split(key)
+                csr = graph.prop_user_pos if sides[l] == "user" else graph.prop_item_pos
+                s = sample_neighbors(k, csr, levels[l], F)
             levels.append(s.ids)
             level_valid.append(s.has_neighbors)
             edge_pos.append(s.edge_pos)
@@ -587,9 +612,11 @@ class SAGE(PairwiseModel):
         }
         return self._ooc_proj
 
-    def loss(self, params, graph, batch: BPRBatch, key, tables=None):
+    def loss(self, params, graph, batch: BPRBatch, key, tables=None, trees=None):
         """tables: optional precomputed (user_x, item_x) initial embeddings
-        (the Trainer's train_emb=False epoch cache); None = compute here."""
+        (the Trainer's train_emb=False epoch cache); None = compute here.
+        trees: optional presampled (user_tree, pos_tree, neg_tree) fanout trees
+        (sample_seed_tree output per seed batch); None = sample in here."""
         if self.full_graph_train:
             # NSSAGE shape: full propagation then index (model/nssage.py:353-379)
             user_emb, item_emb = self.propagate(params, graph, key)
@@ -611,9 +638,10 @@ class SAGE(PairwiseModel):
             )
             if tables is None:
                 tables = self.initial_tables(params) if pre else None
-            u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True, tables=tables)
-            p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True, tables=tables)
-            n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True, tables=tables)
+            t_u, t_p, t_n = trees if trees is not None else (None, None, None)
+            u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True, tables=tables, tree=t_u)
+            p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True, tables=tables, tree=t_p)
+            n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True, tables=tables, tree=t_n)
         bpr = self.main_loss(u, p, n, batch.valid)
         # whole-parameter-norm regularization (SAGE family,
         # /root/reference/model/graphsage.py:326-337; the reference's accumulator

@@ -368,7 +368,12 @@ class Trainer:
     def test(self, params) -> Dict[str, float]:
         if self.ooc:
             self._refresh_bound(params)
-        results, _ = self.evaluator(params, self.eval_data, bound=self._bound)
+        # with_topk=False: the eval cadence only needs the metric sums — the
+        # [n_test_users, Kmax] id buffer stays on device (8 MB/eval host
+        # transfer at the flagship shape; see benchmarks/eval_probe.py)
+        results, _ = self.evaluator(
+            params, self.eval_data, bound=self._bound, with_topk=False
+        )
         return results
 
     def fit(self, epochs: Optional[int] = None, state=None):

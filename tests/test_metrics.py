@@ -161,3 +161,29 @@ def test_evaluator_pmi_hook():
     assert abs(res_stub["unexpectedness@5"] - 1.0 / n) < 1e-9
     assert res_pmi["unexpectedness@5"] != res_stub["unexpectedness@5"]
     assert np.isfinite(res_pmi["unexpectedness@10"])
+
+
+def test_evaluator_device_coverage_and_topk_opt_out():
+    """coverage@k from the device-side hit bitmap == host np.unique count of
+    the returned ids; with_topk=False skips the id fetch but changes nothing
+    else (the Trainer's eval-cadence shape)."""
+    import jax
+    import numpy as np
+
+    from furusato_recommend_tpu.config import Config
+    from furusato_recommend_tpu.data import synthetic_dataset
+    from furusato_recommend_tpu.eval.evaluate import Evaluator, build_eval_data
+    from furusato_recommend_tpu.models.registry import build_model
+
+    ds = synthetic_dataset(n_users=48, m_items=64, avg_degree=6, seed=3)
+    cfg = Config(model="mf", latent_dim=8, eval_user_batch=16, topks=(5, 10))
+    model = build_model("mf", cfg, ds.graph)
+    params = model.init(jax.random.PRNGKey(0))
+    ev = Evaluator(model, ds.graph, cfg, max_train_degree=ds.graph.max_user_degree)
+    data = build_eval_data(ds, 16)
+    res, shown = ev(params, data)
+    for k in (5, 10):
+        assert res[f"coverage@{k}"] == len(np.unique(shown[:, :k])) / ds.m_items
+    res2, shown2 = ev(params, data, with_topk=False)
+    assert shown2 is None
+    assert res2 == res
