@@ -62,6 +62,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--loss_fn", type=str, default="bpr", choices=["bpr", "infonce"])
     p.add_argument("--ckpt_backend", type=str, default="npz", choices=["npz", "orbax"])
     p.add_argument("--auc", action="store_true")
+    p.add_argument("--feature_update_every", type=int, default=1,
+                   help="T>1: feature-VJP + feature-param adam once per T steps (opt-in trajectory deviation)")
     return p
 
 
@@ -109,6 +111,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ckpt_backend=args.ckpt_backend,
         loss_fn=args.loss_fn,
         compute_auc=args.auc,
+        feature_update_every=args.feature_update_every,
     )
 
 

@@ -129,6 +129,15 @@ class Config:
     compute_auc: bool = False  # per-user AUC during eval (reference metric.py:149-158)
     loss_fn: str = "bpr"  # "bpr" (reference) | "infonce" (in-batch sampled softmax)
     infonce_temperature: float = 0.1
+    #: --feature_update_every T (opt-in, T>1 deviates from the reference
+    #: trajectory): with the epoch-cached initial-embedding path, accumulate
+    #: the table cotangent for T steps and run the feature-VJP + the feature
+    #: params' Adam update once per super-step on the step-mean gradient —
+    #: gradient accumulation for the feature params only. The feature-VJP is
+    #: ~5 ms of the 15 ms flagship step (PERF.md "TextSAGE step"), so T=8
+    #: trades a slightly staler feature trajectory for ~1.4x step throughput.
+    #: T=1 (default) is exactly the reference recipe.
+    feature_update_every: int = 1
 
     def __post_init__(self):
         for f in self.user_feature:

@@ -575,6 +575,25 @@ class SAGE(PairwiseModel):
             out = sum(layer_outputs) / len(layer_outputs)
         return self._head(params, out, seed_side)
 
+    def initial_param_keys(self) -> frozenset:
+        """Param keys whose gradient flows ONLY through initial_tables (the
+        feature params) — the partition behind config.feature_update_every:
+        these get their Adam update once per super-step from the accumulated
+        table cotangent, every other param updates per step. Pinned by
+        tests/test_trainer_feature_every.py::test_feature_param_partition."""
+        keys = set()
+        for side, flags in (("user", self.user_flags), ("item", self.item_flags)):
+            keys.update({f"{side}_proj_w", f"{side}_proj_b"})
+            if "n" in flags and side not in self.ooc_numeric:
+                keys.update({f"{side}_numeric_w", f"{side}_numeric_b"})
+            if "c" in flags:
+                keys.add(f"{side}_cat_emb")
+            if self.use_id:
+                keys.add(f"{side}_id_emb")
+        if "t" in self.user_flags or "t" in self.item_flags or "r" in self.item_flags:
+            keys.add("word_emb")
+        return frozenset(keys)
+
     # ---- training loss ----
     def initial_tables(self, params, ooc_proj=None):
         """All-entity initial (feature) embeddings — the epoch-cacheable stage.

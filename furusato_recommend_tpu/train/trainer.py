@@ -85,6 +85,21 @@ class Trainer:
         mult = config.train_iterative if ddp_recipe else 1
         total = max(dataset.train_size * mult, bs)
         self.num_batches = -(-total // bs)
+        # --feature_update_every T > 1: super-step feature updates (see
+        # _build_train_epoch). Epochs round up to whole super-steps.
+        self.feat_every = max(1, int(config.feature_update_every))
+        if self.feat_every > 1:
+            if getattr(model, "ooc_numeric", None):
+                raise ValueError(
+                    "feature_update_every > 1 is incompatible with out-of-core "
+                    "numeric features (their update is already epoch-delayed)"
+                )
+            if not hasattr(model, "initial_param_keys"):
+                raise ValueError(
+                    "feature_update_every > 1 needs a SAGE-family model with "
+                    "epoch-cached initial tables"
+                )
+            self.num_batches = -(-self.num_batches // self.feat_every) * self.feat_every
         self.samples_per_epoch = self.num_batches * bs
 
         # weighted-sampling recipes -> alias tables (host build, device sample)
@@ -127,6 +142,32 @@ class Trainer:
             self.optimizer = optax.multi_transform(
                 {"adam": optax.adam(config.lr), "ooc": optax.set_to_zero()}, _labels
             )
+        elif self.feat_every > 1:
+            # partition: feature params (gradient via the table cotangent +
+            # the L2 term) step once per super-step; everything else per step.
+            # multi_transform + set_to_zero — NOT zero-grad adam (whose moment
+            # decay drifts params even with zero gradient) and NOT optax.masked
+            # (which passes RAW grads through on masked-out leaves).
+            feat_keys = model.initial_param_keys()
+
+            def _labels(in_set):
+                def build(params):
+                    return jax.tree_util.tree_map_with_path(
+                        lambda path, _: "on"
+                        if path
+                        and ((getattr(path[0], "key", None) in feat_keys) == in_set)
+                        else "off",
+                        params,
+                    )
+
+                return build
+
+            self.optimizer = optax.multi_transform(
+                {"on": optax.adam(config.lr), "off": optax.set_to_zero()}, _labels(False)
+            )
+            self.opt_feat = optax.multi_transform(
+                {"on": optax.adam(config.lr), "off": optax.set_to_zero()}, _labels(True)
+            )
         else:
             self.optimizer = optax.adam(config.lr)
 
@@ -167,7 +208,8 @@ class Trainer:
         them would bake them into the executable as constants (bloats
         compiles; overflows remote-compile payloads at production scale)."""
         model, opt = self.model, self.optimizer
-        nb = self.num_batches
+        nb, T = self.num_batches, self.feat_every
+        opt_feat = getattr(self, "opt_feat", None)
         # train_emb=False (reference default): compute the all-entity initial
         # (feature) embeddings ONCE per epoch and reuse the epoch-start
         # linearization (jax.vjp) for their gradients in every step — the
@@ -187,6 +229,11 @@ class Trainer:
             raise ValueError(
                 "out-of-core numeric features need the epoch-cached path "
                 "(a SAGE-family model with initial_tables; not full_graph_train)"
+            )
+        if T > 1 and not use_cache:
+            raise ValueError(
+                "feature_update_every > 1 requires the epoch-cached "
+                "initial-embedding path (train_emb=False, SAGE-family model)"
             )
 
         def train_epoch(params, opt_state, key, graph, batches, bound):
@@ -244,6 +291,59 @@ class Trainer:
                 # companion _sample_epoch program consumed split(key)[0]
                 _, k_steps = jax.random.split(key)
                 step_keys = jax.random.split(k_steps, nb)
+                if use_cache and T > 1:
+                    # super-step feature updates (--feature_update_every):
+                    # inner scan runs T steps with the feature params FROZEN
+                    # (masked adam) while accumulating the table cotangent and
+                    # the L2 term's direct feature grads; the outer step runs
+                    # the feature-VJP once on the step-mean cotangent and
+                    # applies the feature params' own masked adam. Gradient
+                    # accumulation for the feature params only — documented
+                    # trajectory deviation, opt-in (config.feature_update_every).
+                    def inner_step(carry, inp):
+                        params, opt_d, acc_t, acc_p = carry
+                        batch, k = inp
+                        (loss, _aux), (g_p, g_t) = jax.value_and_grad(
+                            cached_loss, argnums=(0, 1), has_aux=True
+                        )(params, tables0, batch, k)
+                        acc_t = jax.tree_util.tree_map(jnp.add, acc_t, g_t)
+                        acc_p = jax.tree_util.tree_map(jnp.add, acc_p, g_p)
+                        updates, opt_d = opt.update(g_p, opt_d, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_d, acc_t, acc_p), loss
+
+                    def outer_step(carry, inp):
+                        params, opt_d, opt_f = carry
+                        batch_t, keys_t = inp
+                        acc_t0 = jax.tree_util.tree_map(jnp.zeros_like, tables0)
+                        acc_p0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+                        (params, opt_d, acc_t, acc_p), losses = jax.lax.scan(
+                            inner_step, (params, opt_d, acc_t0, acc_p0), (batch_t, keys_t)
+                        )
+                        (g_feat,) = tables_vjp(
+                            jax.tree_util.tree_map(lambda x: x / T, acc_t)
+                        )
+                        # + the accumulated direct component on feature leaves
+                        # (the whole-parameter L2 term); non-feature leaves are
+                        # masked out of opt_feat anyway
+                        g_feat = jax.tree_util.tree_map(
+                            lambda a, b: a + b / T, g_feat, acc_p
+                        )
+                        updates, opt_f = opt_feat.update(g_feat, opt_f, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_d, opt_f), losses
+
+                    opt_d, opt_f = opt_state
+
+                    def rs(x):
+                        return x.reshape((nb // T, T) + x.shape[1:])
+
+                    (params, opt_d, opt_f), losses = jax.lax.scan(
+                        outer_step,
+                        (params, opt_d, opt_f),
+                        (jax.tree_util.tree_map(rs, batches), rs(step_keys)),
+                    )
+                    return params, (opt_d, opt_f), jnp.mean(losses)
                 carry0 = (params, opt_state)
                 if has_ooc and use_cache:
                     carry0 = carry0 + (
@@ -306,13 +406,18 @@ class Trainer:
         return jax.jit(sample_epoch)
 
     # -- public API --
+    def _init_opt(self, params):
+        if self.feat_every > 1:
+            return (self.optimizer.init(params), self.opt_feat.init(params))
+        return self.optimizer.init(params)
+
     def init_state(self, seed: Optional[int] = None):
         key = jax.random.PRNGKey(self.config.seed if seed is None else seed)
         k_init, self._key = jax.random.split(key)
         params = self.model.init(k_init)
         if self.mesh is not None:
             params = shard_params(params, self.mesh)
-        opt_state = self.optimizer.init(params)
+        opt_state = self._init_opt(params)
         self.step = 0
         return params, opt_state
 
@@ -439,7 +544,7 @@ class Trainer:
         params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         # the orbax backend restores optax NamedTuple states as plain
         # containers; re-impose the optimizer's structure (no-op for npz)
-        opt_state = restructure(self.optimizer.init(params), state["opt_state"])
+        opt_state = restructure(self._init_opt(params), state["opt_state"])
         opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
         if self.mesh is not None:
             # adam moments mirror param shapes -> same row-sharding rule applies
