@@ -51,14 +51,20 @@ def main():
             def run(params, bound, c0, gu, gi):
                 with model.bind(bound):
                     def body(i, c):
-                        p = dict(params)
-                        p["user_proj_b"] = p["user_proj_b"] + c * 1e-20
+                        # perturb EVERY param multiplicatively: a knob on one
+                        # leaf lets XLA hoist all loop-invariant compute out of
+                        # the fori chain (reads 0.0); same for the cotangent.
+                        # .sum() over everything: a [0,0] probe lets XLA slice
+                        # the whole stage down to one row (also reads 0.0).
+                        s = 1.0 + c * 1e-20
+                        p = jax.tree_util.tree_map(lambda x: x * s, params)
                         if mode == "fwd":
                             u, it = model.initial_tables(p)
-                            return c + u[0, 0] * 1e-12
+                            return c + (u.sum() + it.sum()) * 1e-12
                         _, pull = jax.vjp(model.initial_tables, p)
-                        (g,) = pull((gu, gi))
-                        return c + g["user_proj_w"][0, 0] * 1e-12
+                        (g,) = pull((gu * s, gi * s))
+                        tot = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+                        return c + tot * 1e-12
 
                     return lax.fori_loop(0, R, body, c0)
 

@@ -7,7 +7,7 @@ round-1 verdict weak #6 asked for a versioned bench line).
 fanout 5 — the reference's DDP flagship recipe (/root/reference/ddp.py:771-786).
 
 Prints one JSON line per measurement; run from the repo root:
-    python benchmarks/textsage_bench.py [--train_emb]
+    python benchmarks/textsage_bench.py [--train_emb] [--feature_update_every N]
 """
 
 from __future__ import annotations
@@ -33,9 +33,10 @@ def _sampled_with_bind(model, params, graph, bound, key):
         return model.propagate_sampled(params, graph, key)
 
 
-def main(train_emb: bool):
+def main(train_emb: bool, feat_every: int = 1):
     cfg = ddp_flagship_config().replace(
-        train_emb=train_emb, eval_user_batch=2048, topks=(10, 20)
+        train_emb=train_emb, eval_user_batch=2048, topks=(10, 20),
+        feature_update_every=feat_every,
     )
     t0 = time.time()
     ds = synthetic_dataset(n_users=100_000, m_items=30_000, avg_degree=8, seed=0)
@@ -106,6 +107,7 @@ def main(train_emb: bool):
             {
                 "bench": "textsage_flagship",
                 "train_emb": train_emb,
+                "feature_update_every": feat_every,
                 "epoch_s": round(dt, 2),
                 "samples_per_sec": round(tr.samples_per_epoch / dt, 1),
                 "compile_epoch_s": round(compile_s, 1),
@@ -119,4 +121,7 @@ def main(train_emb: bool):
 
 
 if __name__ == "__main__":
-    main("--train_emb" in sys.argv)
+    fe = 1
+    if "--feature_update_every" in sys.argv:
+        fe = int(sys.argv[sys.argv.index("--feature_update_every") + 1])
+    main("--train_emb" in sys.argv, fe)

@@ -149,27 +149,34 @@ def build_padded_adj(
     while caps[-1] < max(int(deg.max(initial=1)), 1):
         caps.append(max(int(np.ceil(caps[-1] * cap_growth)), caps[-1] + 1))
 
+    # Zero-degree destinations (nothing left after the hub splits — e.g. most
+    # text bags once frequent words went dense, or dst-hub rows) do NOT get
+    # bucket rows: a min_cap row costs min_cap issue-rate-bound gathers each
+    # (measured 9.5 ms for the all-entity text-bag stage, ~4x its cost model,
+    # benchmarks/tables_probe.py). They all un-permute from one shared zero row.
     nbrs, weights, node_order = [], [], []
     lo = 0
     for cap in caps:
-        nodes = np.where((deg > lo) & (deg <= cap))[0] if lo else np.where(deg <= cap)[0]
+        nodes = np.where((deg > lo) & (deg <= cap))[0]
         lo = cap
         if len(nodes) == 0:
-            continue
-        if len(src_s) == 0:  # all edges went to the hub-dense block
-            nbrs.append(np.zeros((len(nodes), cap), np.int32))
-            weights.append(np.zeros((len(nodes), cap), np.float32))
-            node_order.append(nodes)
             continue
         pos = start[nodes][:, None] + np.arange(cap)[None, :]
         mask = np.arange(cap)[None, :] < deg[nodes][:, None]
         pos_c = np.clip(pos, 0, max(len(src_s) - 1, 0))
+        if len(src_s) == 0:  # all edges went to the hub-dense block
+            continue  # (deg is then all-zero; nothing reaches here)
         nbrs.append(np.where(mask, src_s[pos_c], 0).astype(np.int32))
         weights.append(np.where(mask, w_s[pos_c], 0.0).astype(np.float32))
         node_order.append(nodes)
     node_order = np.concatenate(node_order) if node_order else np.empty(0, np.int64)
-    inv = np.empty(num_dst, np.int64)
-    inv[node_order] = np.arange(num_dst)
+    n_zero = num_dst - len(node_order)
+    if n_zero > 0:
+        # one [1, cap0] all-zero bucket row that every zero-degree dst reads
+        nbrs.append(np.zeros((1, caps[0]), np.int32))
+        weights.append(np.zeros((1, caps[0]), np.float32))
+    inv = np.full(num_dst, len(node_order), np.int64)  # default: the zero row
+    inv[node_order] = np.arange(len(node_order))
     return PaddedAdj(
         bucket_nbrs=tuple(jnp.asarray(a) for a in nbrs),
         bucket_weights=tuple(jnp.asarray(a) for a in weights),

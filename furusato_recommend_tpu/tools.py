@@ -3,6 +3,7 @@
 
   python -m furusato_recommend_tpu.tools dump-candidates --ckpt ... --k 50
   python -m furusato_recommend_tpu.tools evaluate --ckpt ...
+  python -m furusato_recommend_tpu.tools recommend --ckpt ... --users 3,17 --k 10
   python -m furusato_recommend_tpu.tools train-ranker --candidates a.npy b.npy
   python -m furusato_recommend_tpu.tools rerank-eval --candidates a.npy b.npy --ranker r.ckpt
 
@@ -97,6 +98,23 @@ def cmd_infer(args):
     print(f"wrote {len(paths)} csv(s)")
 
 
+def cmd_recommend(args):
+    """Online-serving one-shot: checkpoint -> cached propagated embeddings ->
+    masked top-K for the requested users (serve.Recommender)."""
+    from .serve import Recommender
+
+    rec = Recommender.from_checkpoint(
+        args.ckpt,
+        data_path=args.data_path,
+        use_inference_edges=not args.train_edges_only,
+    )
+    users = [int(u) for u in args.users.split(",") if u != ""]
+    ids, scores = rec.recommend(users, k=args.k)
+    for u, row, srow in zip(users, ids, scores):
+        print(json.dumps({"user": u, "items": row.tolist(),
+                          "scores": [round(float(s), 4) for s in srow]}))
+
+
 def cmd_train_ranker(args):
     import jax
 
@@ -177,6 +195,17 @@ def main(argv=None):
     )
     i.add_argument("--k", type=int, default=20)
     i.set_defaults(fn=cmd_infer)
+
+    s = sub.add_parser(
+        "recommend", help="online serving one-shot: checkpoint -> top-K per user"
+    )
+    s.add_argument("--ckpt", required=True)
+    s.add_argument("--users", required=True, help="comma-separated user ids")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--data_path", default=None)
+    s.add_argument("--train_edges_only", action="store_true",
+                   help="propagate over train edges even if an inference edge set exists")
+    s.set_defaults(fn=cmd_recommend)
 
     t = sub.add_parser("train-ranker", help="train_lgbm.py equivalent")
     t.add_argument("--candidates", nargs="+", required=True)
