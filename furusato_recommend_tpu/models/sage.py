@@ -105,7 +105,6 @@ class SAGE(PairwiseModel):
         # lightsage averages layer outputs (/root/reference/model/lightsage.py:274-290)
         self.layer_mean = (conv == "light") if layer_mean_output is None else layer_mean_output
         self.precompute_initial = precompute_initial
-        self.fuse_item_trees = True  # see loss(); flip off to A/B the fusion
         self.node_dim = self.dim * (2 if use_id_embedding else 1)
         self.word_dim = self.dim // 2
 
@@ -659,20 +658,12 @@ class SAGE(PairwiseModel):
             if tables is None:
                 tables = self.initial_tables(params) if pre else None
             t_u, t_p, t_n = trees if trees is not None else (None, None, None)
+            # NB: fusing the pos+neg item trees into one [2B]-seed encode was
+            # measured and rejected (15.95 vs 15.27 ms/step — per-op overhead
+            # is not where the time goes; PERF.md round-3 probes)
             u = self.encode_seeds(params, graph, batch.user, "user", k1, train=True, tables=tables, tree=t_u)
-            if trees is None and self.fuse_item_trees:
-                # pos+neg share one item-seeded encode: every level's sampling
-                # and table gathers run as ONE op over [2B] seeds instead of
-                # two [B] ops — same distribution, half the per-op overhead
-                B = batch.pos.shape[0]
-                pn = self.encode_seeds(
-                    params, graph, jnp.concatenate([batch.pos, batch.neg]),
-                    "item", k2, train=True, tables=tables,
-                )
-                p, n = pn[:B], pn[B:]
-            else:
-                p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True, tables=tables, tree=t_p)
-                n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True, tables=tables, tree=t_n)
+            p = self.encode_seeds(params, graph, batch.pos, "item", k2, train=True, tables=tables, tree=t_p)
+            n = self.encode_seeds(params, graph, batch.neg, "item", k3, train=True, tables=tables, tree=t_n)
         bpr = self.main_loss(u, p, n, batch.valid)
         # whole-parameter-norm regularization (SAGE family,
         # /root/reference/model/graphsage.py:326-337; the reference's accumulator
