@@ -6,6 +6,7 @@ extend when new products/customers/transactions arrive without full recompute
 integration test tests/test_preprocessing.py mirrors it)."""
 
 from .artifacts import write_artifacts
+from .filtering import five_core, k_core, read_recbole, ten_core, write_recbole
 from .categorical import (
     CategoricalFeature,
     CustomerCategoricalFeature,
@@ -20,6 +21,11 @@ from .text import ProductReviewFeature, ProductTextFeature, join_nouns
 
 __all__ = [
     "write_artifacts",
+    "k_core",
+    "five_core",
+    "ten_core",
+    "write_recbole",
+    "read_recbole",
     "OrdinalEncoder",
     "CategoricalFeature",
     "ProductCategoricalFeature",

@@ -164,6 +164,29 @@ def cmd_rerank_eval(args):
     print(json.dumps(results, indent=2))
 
 
+def cmd_convert_recbole(args):
+    import pandas as pd
+
+    from .preprocessing.filtering import k_core, write_recbole
+
+    def _read(path):
+        if path is None:
+            return None
+        return pd.read_pickle(path) if path.endswith(".pkl") else pd.read_csv(path)
+
+    inter = _read(args.interactions)
+    if args.k_core > 1:
+        before = len(inter)
+        inter = k_core(inter, args.k_core, item_col=args.item_col,
+                       user_col=args.user_col, iterate=args.iterate)
+        print(f"k_core({args.k_core}): {before} -> {len(inter)} interactions")
+    written = write_recbole(
+        args.out, args.name, inter, users=_read(args.users), items=_read(args.items),
+        item_col=args.item_col, user_col=args.user_col,
+    )
+    print(json.dumps(written, indent=2))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="furusato_recommend_tpu.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -221,6 +244,22 @@ def main(argv=None):
     r.add_argument("--data_path", default="./data")
     r.add_argument("--k", type=int, default=10)
     r.set_defaults(fn=cmd_rerank_eval)
+
+    c = sub.add_parser(
+        "convert-recbole",
+        help="README conversion_tools equivalent: dataframes -> RecBole atomic files"
+        " (optionally k-core filtered first)",
+    )
+    c.add_argument("--interactions", required=True, help=".csv or .pkl dataframe")
+    c.add_argument("--users", default=None)
+    c.add_argument("--items", default=None)
+    c.add_argument("--out", required=True)
+    c.add_argument("--name", default="furusato")
+    c.add_argument("--k_core", type=int, default=1, help="5/10 = README five_core/ten_core")
+    c.add_argument("--iterate", action="store_true", help="iterate k-core to fixpoint")
+    c.add_argument("--user_col", default="customer_id")
+    c.add_argument("--item_col", default="remap_id")
+    c.set_defaults(fn=cmd_convert_recbole)
 
     args = p.parse_args(argv)
     args.fn(args)
