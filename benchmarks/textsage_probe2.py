@@ -262,12 +262,22 @@ def main():
                 return lax.fori_loop(0, REP, body, c0)
             return jax.jit(run)
 
+        def fused_scatter_bf16(idx, r, c):
+            # the "bf16 tables0/cotangent" lever: accumulate in bf16
+            out = jnp.zeros((N, d), jnp.bfloat16).at[idx].add(
+                (r * c).astype(jnp.bfloat16)
+            )
+            return out.astype(jnp.float32)
+
         f_split = rep(lambda a, b, c: split_scatter(idxs, rows, c))
         f_fused = rep(lambda a, b, c: fused_scatter(a, b, c))
+        f_bf16 = rep(lambda a, b, c: fused_scatter_bf16(a, b, c))
         d_split = timeit(f_split, lambda i: (jnp.float32(i), fused_idx, fused_rows), iters=5) / REP
         d_fused = timeit(f_fused, lambda i: (jnp.float32(i), fused_idx, fused_rows), iters=5) / REP
+        d_bf16 = timeit(f_bf16, lambda i: (jnp.float32(i), fused_idx, fused_rows), iters=5) / REP
         log(bench="ts_scatter", split_ms=round(d_split * 1e3, 2),
-            fused_ms=round(d_fused * 1e3, 2))
+            fused_ms=round(d_fused * 1e3, 2),
+            fused_bf16_ms=round(d_bf16 * 1e3, 2))
 
 
 if __name__ == "__main__":
