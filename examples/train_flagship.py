@@ -35,10 +35,19 @@ def main():
     ap.add_argument("--data_path", default="./data")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--mesh_data", type=int, default=1,
+                    help="data-parallel mesh axis (replaces the reference's DDP ranks)")
+    ap.add_argument("--mesh_model", type=int, default=1,
+                    help="model axis: embedding tables row-sharded across chips")
     args = ap.parse_args()
 
+    from furusato_recommend_tpu.config import MeshConfig
+
     config = ddp_flagship_config().replace(
-        data_path=args.data_path, epochs=args.epochs, test_span=TEST_SPAN
+        data_path=args.data_path,
+        epochs=args.epochs,
+        test_span=TEST_SPAN,
+        mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
     )
 
     if args.synthetic:

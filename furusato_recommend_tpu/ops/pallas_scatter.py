@@ -11,9 +11,16 @@ Fits when N * D * 4B <= ~12 MB (v5e VMEM is 16 MB minus streaming buffers) —
 true for the recommender tables this framework trains (e.g. 100k x 32 f32 =
 12.8 MB is the flagship's largest side; larger tables fall back to XLA).
 
-Used as the custom VJP of ``table_gather`` (models/sage.py encode path);
-replaces the reference's torch scatter-backward slot
-(`/root/reference/model/textsage.py:370-383` autograd over index_select).
+Status: STANDALONE, measured-loses-to-XLA inventory — NOT wired into any
+production path. The table-cotangent scatter it targets was probe-measured as
+random-access issue-rate bound (PERF.md "Round-2 (late) step probes": bf16
+payload, fused single-scatter, and this kernel all null), so the production
+VJP stays on XLA scatter-add. Kept as a validated kernel (tests/test_pallas.py,
+benchmarks/scatter_probe.py) for table shapes where a VMEM-resident
+accumulator could win; do not call it from models without a new measurement.
+``table_gather`` here is the kernel's own custom-VJP wrapper for those probes,
+not the one models/sage.py uses. Reference slot it would occupy:
+`/root/reference/model/textsage.py:370-383` (autograd over index_select).
 """
 
 from __future__ import annotations

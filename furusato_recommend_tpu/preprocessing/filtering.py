@@ -84,7 +84,9 @@ def _recbole_type(series: pd.Series) -> str:
     if pd.api.types.is_float_dtype(series):
         return "float"
     if pd.api.types.is_integer_dtype(series):
-        # RecBole treats ids as tokens; plain integer measurements as float.
+        # Integer columns default to token (RecBole treats ids as tokens).
+        # Numeric int measurements (timestamps, ratings) need an explicit
+        # ``types={'col': 'float'}`` override to be usable numerically.
         return "token"
     if series.map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
         return "token_seq"
@@ -138,8 +140,7 @@ def write_recbole(
         columns={user_col: "user_id", item_col: "item_id"}
     )
     inter_types = {"user_id": "token", "item_id": "token"}
-    if types:
-        inter_types.update(types)
+    inter_types.update(_table_types(types, "inter"))
     path = os.path.join(out_dir, f"{name}.inter")
     _write_atomic(inter, path, inter_types)
     written["inter"] = path
@@ -149,7 +150,7 @@ def write_recbole(
         if "user_id" not in udf.columns:
             raise ValueError(f"users frame needs a '{user_col}' or 'user_id' column")
         upath = os.path.join(out_dir, f"{name}.user")
-        _write_atomic(udf, upath, {"user_id": "token", **(types or {})})
+        _write_atomic(udf, upath, {"user_id": "token", **_table_types(types, "user")})
         written["user"] = upath
 
     if items is not None:
@@ -157,14 +158,33 @@ def write_recbole(
         if "item_id" not in idf.columns:
             raise ValueError(f"items frame needs a '{item_col}' or 'item_id' column")
         ipath = os.path.join(out_dir, f"{name}.item")
-        _write_atomic(idf, ipath, {"item_id": "token", **(types or {})})
+        _write_atomic(idf, ipath, {"item_id": "token", **_table_types(types, "item")})
         written["item"] = ipath
 
     return written
 
 
+def _table_types(types: Optional[Mapping[str, str]], table: str) -> dict:
+    """Resolve a types mapping for one table. Keys may be plain column names
+    (apply to every table) or namespaced ``"table.col"`` (apply only to that
+    table — lets e.g. 'timestamp' be float in .inter but token in .user)."""
+    out = {}
+    for k, v in (types or {}).items():
+        tbl, _, col = k.partition(".")
+        if col:
+            if tbl == table:
+                out[col] = v
+        else:
+            out[k] = v
+    return out
+
+
 def read_recbole(path: str) -> pd.DataFrame:
-    """Read back one atomic file (header types stripped into ``df.attrs``)."""
+    """Read back one atomic file (header types stripped into ``df.attrs``).
+
+    Empty token_seq fields (e.g. an entity whose tag list was ``[]``) are
+    written as empty fields, which pd.read_csv reads as NaN — normalize those
+    back to the empty string so the roundtrip is lossless for sequences."""
     df = pd.read_csv(path, sep="\t")
     types = {}
     renames = {}
@@ -173,5 +193,8 @@ def read_recbole(path: str) -> pd.DataFrame:
         renames[col] = base
         types[base] = typ or "token"
     df = df.rename(columns=renames)
+    for col, typ in types.items():
+        if typ == "token_seq":
+            df[col] = df[col].fillna("")
     df.attrs["recbole_types"] = types
     return df

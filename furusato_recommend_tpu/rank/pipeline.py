@@ -90,7 +90,7 @@ def _compact_rows(keep: np.ndarray, *arrays, width: int):
 def build_rank_groups(
     dataset: Dataset,
     candidates: Sequence[np.ndarray],  # one [n_users, k] per retriever
-    holdout: Dict[int, np.ndarray],  # user -> held-out positive items (labels 1)
+    holdout,  # {user: held-out items} dict OR (users[np], items[np]) edge arrays
     include_train_positives: bool = True,
     max_candidates: int = 160,
 ) -> RankGroups:
@@ -123,12 +123,24 @@ def build_rank_groups(
     # 1.0 for the appended train positives
     k_cand = sum(c.shape[1] for c in candidates)
     labels = np.zeros_like(cand, dtype=np.float32)
-    if holdout:
-        hold_keys = np.sort(
-            np.concatenate(
-                [np.int64(u) * m + np.asarray(v, np.int64) for u, v in holdout.items()]
+    if isinstance(holdout, dict):
+        hold_keys = (
+            np.sort(
+                np.concatenate(
+                    [np.int64(u) * m + np.asarray(v, np.int64) for u, v in holdout.items()]
+                )
             )
+            if holdout
+            else None
         )
+    else:  # (users, items) flat edge arrays — no per-user structure needed
+        hu, hi = holdout
+        hold_keys = (
+            np.sort(np.asarray(hu, np.int64) * m + np.asarray(hi, np.int64))
+            if len(hu)
+            else None
+        )
+    if hold_keys is not None:
         cand_keys = np.arange(n, dtype=np.int64)[:, None] * m + cand[:, :k_cand]
         labels[:, :k_cand] = np.isin(cand_keys, hold_keys, assume_unique=False)
     if include_train_positives:

@@ -129,15 +129,14 @@ def cmd_train_ranker(args):
                     user_feature="nc", item_feature="nc")  # make_X needs cat+numeric
     dataset = load_text_dataset(config)
     features = load_reference_features(config, config.data_path)
-    # held-out = the lgbm slice: full rows minus the for_lgbm-train rows
+    # held-out = the lgbm slice: full edge set minus the for_lgbm-train edge
+    # set, one flat-key setdiff over the COO arrays (no per-user Python loop)
     full = load_text_dataset(config.replace(for_lgbm=False))
-    held = {}
-    ap_train = dataset.all_pos()
-    ap_full = full.all_pos()
-    for u in range(dataset.n_users):
-        held_items = np.setdiff1d(ap_full[u], ap_train[u])
-        if len(held_items):
-            held[u] = held_items
+    m = np.int64(full.m_items)
+    key_full = full.train_user.astype(np.int64) * m + full.train_item
+    key_train = dataset.train_user.astype(np.int64) * m + dataset.train_item
+    held_keys = np.setdiff1d(key_full, key_train)
+    held = (held_keys // m, held_keys % m)
     cands = [np.load(p) for p in args.candidates]
     groups = build_rank_groups(dataset, cands, holdout=held)
     ranker = NeuralRanker(features)
@@ -180,9 +179,17 @@ def cmd_convert_recbole(args):
         inter = k_core(inter, args.k_core, item_col=args.item_col,
                        user_col=args.user_col, iterate=args.iterate)
         print(f"k_core({args.k_core}): {before} -> {len(inter)} interactions")
+    extra = [c for c in args.extra_inter_cols.split(",") if c]
+    dropped = [c for c in inter.columns
+               if c not in (args.user_col, args.item_col, *extra)]
+    if dropped:
+        print(f"[convert-recbole] dropping interaction columns {dropped} "
+              f"(pass --extra_inter_cols to keep them)")
+    types = dict(kv.split("=", 1) for kv in args.types.split(",") if kv)
     written = write_recbole(
         args.out, args.name, inter, users=_read(args.users), items=_read(args.items),
         item_col=args.item_col, user_col=args.user_col,
+        extra_inter_cols=extra, types=types,
     )
     print(json.dumps(written, indent=2))
 
@@ -259,6 +266,13 @@ def main(argv=None):
     c.add_argument("--iterate", action="store_true", help="iterate k-core to fixpoint")
     c.add_argument("--user_col", default="customer_id")
     c.add_argument("--item_col", default="remap_id")
+    c.add_argument("--extra_inter_cols", default="",
+                   help="comma-separated interaction columns to keep beyond "
+                        "user/item (e.g. rating,timestamp)")
+    c.add_argument("--types", default="",
+                   help="col=type overrides, comma-separated; namespace with "
+                        "table. for per-table types (e.g. "
+                        "timestamp=float,user.timestamp=token)")
     c.set_defaults(fn=cmd_convert_recbole)
 
     args = p.parse_args(argv)

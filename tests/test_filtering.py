@@ -96,6 +96,50 @@ def test_write_recbole_roundtrip(tmp_path):
     got_item = read_recbole(written["item"])
     assert got_item.attrs["recbole_types"]["tags"] == "token_seq"
     assert got_item["tags"].tolist()[0] == "x y"
+    # empty sequence roundtrips to the empty string, not NaN (advisor finding)
+    assert got_item["tags"].tolist()[2] == ""
+
+
+def test_write_recbole_per_table_types(tmp_path):
+    """Namespaced 'table.col' type keys let a shared column name (timestamp in
+    both .inter and .user) take different types per table."""
+    inter = pd.DataFrame(
+        {"customer_id": [0, 1], "remap_id": [5, 6], "timestamp": [100, 200]}
+    )
+    users = pd.DataFrame({"customer_id": [0, 1], "timestamp": [7, 8]})
+    written = write_recbole(
+        str(tmp_path), "ns", inter, users=users,
+        extra_inter_cols=("timestamp",),
+        types={"inter.timestamp": "float", "user.timestamp": "token"},
+    )
+    assert read_recbole(written["inter"]).attrs["recbole_types"]["timestamp"] == "float"
+    assert read_recbole(written["user"]).attrs["recbole_types"]["timestamp"] == "token"
+
+
+def test_convert_recbole_cli_extra_cols(tmp_path, capsys):
+    from furusato_recommend_tpu.tools import main
+
+    df = pd.DataFrame(
+        {
+            "customer_id": [0, 1, 1],
+            "remap_id": [5, 5, 6],
+            "rating": [1.0, 0.5, 1.0],
+            "note": ["a", "b", "c"],
+        }
+    )
+    src = tmp_path / "inter.csv"
+    df.to_csv(src, index=False)
+    main([
+        "convert-recbole", "--interactions", str(src), "--out", str(tmp_path),
+        "--name", "xc", "--extra_inter_cols", "rating",
+        "--types", "rating=float",
+    ])
+    out = capsys.readouterr().out
+    assert "dropping interaction columns ['note']" in out
+    got = read_recbole(str(tmp_path / "xc.inter"))
+    assert got.attrs["recbole_types"]["rating"] == "float"
+    assert got["rating"].tolist() == [1.0, 0.5, 1.0]
+    assert "note" not in got.columns
 
 
 def test_convert_recbole_cli(tmp_path, capsys):

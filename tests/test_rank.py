@@ -94,6 +94,23 @@ def test_rank_groups_labels(rank_setup):
             assert lab[g0, c] == 1.0
 
 
+def test_rank_groups_edge_array_holdout_matches_dict(rank_setup):
+    """The flat (users, items) holdout form (what cmd_train_ranker now builds
+    with one setdiff over COO keys — no per-user loop) must produce identical
+    groups to the per-user dict form."""
+    ds, cfg, model, params, feats = rank_setup
+    cands = dump_candidates(model, params, ds.graph, k=10, batch=64)
+    td = ds.test_dict()
+    hu = np.concatenate([np.full(len(v), u, np.int64) for u, v in td.items()])
+    hi = np.concatenate([np.asarray(v, np.int64) for v in td.values()])
+    g_dict = build_rank_groups(ds, [cands], holdout=td, max_candidates=64)
+    g_arr = build_rank_groups(ds, [cands], holdout=(hu, hi), max_candidates=64)
+    np.testing.assert_array_equal(np.asarray(g_dict.users), np.asarray(g_arr.users))
+    np.testing.assert_array_equal(np.asarray(g_dict.items), np.asarray(g_arr.items))
+    np.testing.assert_array_equal(np.asarray(g_dict.labels), np.asarray(g_arr.labels))
+    np.testing.assert_array_equal(np.asarray(g_dict.mask), np.asarray(g_arr.mask))
+
+
 def test_rerank_no_candidate_double_count():
     """Round-1 defect: users with fewer candidates than max_candidates had the
     pad filled by repeating candidate 0, which could double-count it in top-k.
