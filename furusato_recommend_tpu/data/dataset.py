@@ -23,7 +23,12 @@ import numpy as np
 from ..config import Config
 from .graph import BipartiteGraph, build_bipartite_graph
 
-__all__ = ["Dataset", "load_text_dataset", "synthetic_dataset"]
+__all__ = [
+    "Dataset",
+    "load_text_dataset",
+    "synthetic_dataset",
+    "synthetic_structured_dataset",
+]
 
 
 @dataclass
@@ -298,6 +303,68 @@ def synthetic_dataset(
         tr_i.extend(train_part.tolist())
         te_u.extend([u] * len(test_part))
         te_i.extend(test_part.tolist())
+
+    return Dataset(
+        n_users=n_users,
+        m_items=m_items,
+        train_user=np.asarray(tr_u, dtype=np.int64),
+        train_item=np.asarray(tr_i, dtype=np.int64),
+        test_user=np.asarray(te_u, dtype=np.int64),
+        test_item=np.asarray(te_i, dtype=np.int64),
+    )
+
+
+def synthetic_structured_dataset(
+    n_users: int = 1000,
+    m_items: int = 500,
+    avg_degree: int = 10,
+    test_holdout: int = 3,
+    seed: int = 0,
+    rank: int = 16,
+    signal: float = 3.0,
+    popularity_alpha: float = 0.8,
+    chunk: int = 2048,
+) -> Dataset:
+    """Synthetic bipartite dataset with REAL collaborative structure.
+
+    ``synthetic_dataset`` draws items from a shared Zipf popularity only — a
+    model can never beat the popularity baseline on it, so recall curves are
+    flat and lever ablations invisible. Here each user's item set is the Gumbel
+    top-k of ``signal * <u*, v*> / sqrt(rank) + popularity + Gumbel noise``
+    over ground-truth rank-``rank`` latents: recall has headroom that only
+    collaborative filtering can reach, which is what the flagship-scale quality
+    curves (benchmarks/quality_curve.py) and the mid-scale torch parity anchor
+    measure. Deterministic for a given seed; generated in user chunks so the
+    [n_users, m_items] score matrix never materializes whole.
+
+    Every user gets ``k_u ~ Uniform[test_holdout+2, 2*avg_degree)`` distinct
+    items (same row-degree law as ``synthetic_dataset``); the last
+    ``test_holdout`` of each user's set form the test split.
+    """
+    rng = np.random.default_rng(seed)
+    U = rng.standard_normal((n_users, rank), dtype=np.float32)
+    V = rng.standard_normal((m_items, rank), dtype=np.float32)
+    pop = (-popularity_alpha * np.log(np.arange(1, m_items + 1))).astype(np.float32)
+    rng.shuffle(pop)  # decorrelate popularity from item id
+
+    k_lo, k_hi = test_holdout + 2, max(test_holdout + 3, 2 * avg_degree)
+    k_u = rng.integers(k_lo, k_hi, size=n_users)
+    k_max = int(k_u.max())
+    scale = signal / np.sqrt(rank)
+
+    tr_u, tr_i, te_u, te_i = [], [], [], []
+    for lo in range(0, n_users, chunk):
+        hi = min(lo + chunk, n_users)
+        s = (U[lo:hi] @ V.T) * scale + pop[None, :]
+        s += rng.gumbel(size=s.shape).astype(np.float32)
+        top = np.argpartition(-s, k_max, axis=1)[:, :k_max]  # [B, k_max] distinct
+        for r, u in enumerate(range(lo, hi)):
+            k = int(k_u[u])
+            items = top[r, :k]
+            tr_u.extend([u] * (k - test_holdout))
+            tr_i.extend(items[:-test_holdout].tolist())
+            te_u.extend([u] * test_holdout)
+            te_i.extend(items[-test_holdout:].tolist())
 
     return Dataset(
         n_users=n_users,

@@ -98,6 +98,16 @@ class Evaluator:
         self.mesh = mesh
         if mesh is not None and config.compute_auc:
             raise ValueError("compute_auc needs full [B, M] scores; unsupported under a mesh")
+        if mesh is not None and config.inference == "sample":
+            from ..core.mesh import DATA_AXIS
+
+            data_size = mesh.shape[DATA_AXIS]
+            if config.sample_infer_chunk % data_size:
+                raise ValueError(
+                    f"--inference sample under a mesh needs sample_infer_chunk "
+                    f"({config.sample_infer_chunk}) divisible by the mesh data "
+                    f"axis ({data_size})"
+                )
         # graph + model-held data are jit ARGUMENTS (not closure constants —
         # see PairwiseModel.data_to_bind)
         self._run = jax.jit(self._evaluate)
@@ -120,9 +130,11 @@ class Evaluator:
     def _evaluate_inner(self, graph: BipartiteGraph, params: Params, data: EvalData):
         if self.config.inference == "sample" and hasattr(self.model, "propagate_sampled"):
             # `--inference sample`: sampled-subgraph encoding instead of exact
-            # full-graph means (/root/reference/model/graphsage.py:401-477)
+            # full-graph means (/root/reference/model/graphsage.py:401-477);
+            # under a mesh the chunked encoding is data-axis sharded (no silent
+            # replication — models/sage.py propagate_sampled)
             user_emb, item_emb = self.model.propagate_sampled(
-                params, graph, jax.random.PRNGKey(self.config.seed)
+                params, graph, jax.random.PRNGKey(self.config.seed), mesh=self.mesh
             )
         else:
             user_emb, item_emb = self.model.propagate(params, graph, None)
