@@ -146,9 +146,19 @@ def build_model_inputs(config, dataset):
                     side: MemmapNumeric(p) for side, p in paths.items()
                 }
         if config.model == "sasrec":
-            from .data.sequence import build_sequences
+            from pathlib import Path
 
-            model_kw["sequences"] = build_sequences(dataset)
+            from .data.sequence import build_sequences, load_sequence_artifacts
+
+            seq_pkl = Path(config.data_path) / f"train_items_sequence{config.suffix}.pkl"
+            if seq_pkl.exists():
+                # migration contract: the reference's precomputed sequence
+                # artifacts win when present (/root/reference/model/sasrec.py:205-208)
+                model_kw["sequences"] = load_sequence_artifacts(
+                    config.data_path, config.suffix, n_users=dataset.n_users
+                )
+            else:
+                model_kw["sequences"] = build_sequences(dataset)
         if config.model == "asage":
             attrs = load_attribute_coos(config, config.data_path)
             if attrs:

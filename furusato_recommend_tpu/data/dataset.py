@@ -137,6 +137,62 @@ class Dataset:
             inference_item=inference_item,
         )
 
+    @classmethod
+    def from_reference_pickles(cls, data_path: str, suffix: str = "") -> "Dataset":
+        """Ingest the reference DDP path's on-disk dataset DIRECTLY: the five
+        pickled dataframes `Datas` loads (`/root/reference/ddp.py:40-75`) —
+
+        - ``{data_path}/cb/{suffix}/product_cb{suffix}.pkl`` /
+          ``customer_cb{suffix}.pkl``: entity frames; their lengths define
+          m_items / n_users (``ddp.py:56-57``),
+        - ``{data_path}/{suffix}/train{suffix}.pkl`` / ``test{suffix}.pkl``:
+          interaction frames with ``cf_customer`` / ``cf_product`` columns,
+        - ``{data_path}/{suffix}/inference{suffix}.pkl`` when ``suffix=='all'``
+          (the production train+test edge set, ``ddp.py:51-52,63-68``).
+
+        The reference additionally loads ``allPos{suffix}.pkl``; here the
+        per-user positive lists are derived from the train COO (``all_pos()``),
+        so that pickle is not required. Missing entity frames fall back to
+        max-id inference with a warning (the frames only provide counts)."""
+        import pandas as pd
+
+        base = Path(data_path)
+        sub = base / suffix if suffix else base
+
+        def _edges(name):
+            df = pd.read_pickle(sub / f"{name}{suffix}.pkl")
+            return (
+                df["cf_customer"].values.astype(np.int64),
+                df["cf_product"].values.astype(np.int64),
+            )
+
+        tr_u, tr_i = _edges("train")
+        te_u, te_i = _edges("test")
+        inf_u = inf_i = None
+        if suffix == "all" or (sub / f"inference{suffix}.pkl").exists():
+            inf_u, inf_i = _edges("inference")
+
+        n_users = m_items = None
+        cb = base / "cb" / suffix if suffix else base / "cb"
+        cust_p = cb / f"customer_cb{suffix}.pkl"
+        prod_p = cb / f"product_cb{suffix}.pkl"
+        if cust_p.exists() and prod_p.exists():
+            n_users = len(pd.read_pickle(cust_p))
+            m_items = len(pd.read_pickle(prod_p))
+        else:
+            import warnings
+
+            warnings.warn(
+                f"entity frames not found under {cb}; inferring n_users/m_items "
+                "from max interaction ids (entities with no interactions will "
+                "be missing from the id space)"
+            )
+        return cls.from_interactions(
+            tr_u, tr_i, te_u, te_i,
+            n_users=n_users, m_items=m_items,
+            inference_user=inf_u, inference_item=inf_i,
+        )
+
     # --- ragged host-side views (parity with the reference API; not used on TPU) ---
     def all_pos(self) -> List[np.ndarray]:
         """Per-user positive item arrays (reference `_allPos`)."""

@@ -29,6 +29,8 @@ __all__ = [
     "popularity_negative_weights",
     "edge_alias_from_weights",
     "negative_alias",
+    "load_sample_prob",
+    "sample_prob_edge_weights",
 ]
 
 
@@ -77,6 +79,61 @@ def capped_positive_edge_weights(
             1.0,
         )
     return w0 * s[i]
+
+
+def load_sample_prob(data_path: str, sample_pow: float):
+    """Load the reference's precomputed per-user positive-sampling
+    distribution for ``--sample_pow`` — ``sample_prob/sample_prob_{01,02,05,
+    10}.pkl`` selected by the pow value exactly like
+    `/root/reference/negative_sample.py:24-38`. Returns the pickled object
+    (per-user probability arrays over each user's positives, in all_pos
+    order), or None when no file matches (callers then fall back to the
+    degree-computed tilt, the documented deviation)."""
+    import pickle
+    from pathlib import Path
+
+    names = {0.1: "01", 0.2: "02", 0.5: "05", 1.0: "10"}
+    key = next((v for k, v in names.items() if abs(sample_pow - k) < 1e-9), None)
+    if key is None:
+        return None
+    p = Path(data_path) / "sample_prob" / f"sample_prob_{key}.pkl"
+    if not p.exists():
+        return None
+    with open(p, "rb") as f:
+        return pickle.load(f)
+
+
+def sample_prob_edge_weights(dataset: Dataset, probs) -> np.ndarray:
+    """Convert the reference's per-user probability arrays (``probs[u]`` is a
+    distribution over ``allPos[u]``, consumed as
+    ``np.random.choice(len(posForUser), p=self.probs[user])`` at
+    `/root/reference/negative_sample.py:55-57`) into weights over train edges
+    in the CSR order the alias sampler uses. The user marginal stays uniform
+    (each user's probabilities sum to 1, matching the reference's
+    uniform-user draw at `/root/reference/negative_sample.py:77`)."""
+    n = dataset.n_users
+    deg = np.bincount(dataset.train_user, minlength=n)
+
+    def _prob_row(u):
+        if isinstance(probs, dict):
+            return np.asarray(probs.get(u, ()), np.float64)
+        return np.asarray(probs[u], np.float64) if u < len(probs) else np.empty(0)
+
+    rows = [_prob_row(u) for u in range(n)]
+    lens = np.fromiter((len(r) for r in rows), np.int64, count=n)
+    if not np.array_equal(lens, deg):
+        bad = int(np.nonzero(lens != deg)[0][0])
+        raise ValueError(
+            f"sample_prob row for user {bad} has {lens[bad]} entries, "
+            f"user has {deg[bad]} positives"
+        )
+    # concatenated rows are the edges in all_pos (appearance) order; reorder to
+    # the CSR order the alias sampler indexes
+    w_ap = np.concatenate(rows) if n else np.empty(0)
+    order_ap = np.argsort(dataset.train_user, kind="stable")
+    w_by_edge = np.empty(len(order_ap), np.float64)
+    w_by_edge[order_ap] = w_ap
+    return w_by_edge[_edge_order(dataset)]
 
 
 def popularity_negative_weights(dataset: Dataset, negative_pow: float) -> np.ndarray:

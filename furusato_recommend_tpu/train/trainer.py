@@ -113,7 +113,16 @@ class Trainer:
             if config.negative_pow:
                 self.neg_alias = negative_alias(dataset, config.negative_pow)
         elif config.sample_pow:
-            w = popularity_positive_edge_weights(dataset, config.sample_pow)
+            # migration contract: the reference's precomputed sample_prob_*.pkl
+            # wins when present (/root/reference/negative_sample.py:24-38);
+            # otherwise the tilt is computed from degrees (documented deviation)
+            from ..sampling.weights import load_sample_prob, sample_prob_edge_weights
+
+            probs = load_sample_prob(config.data_path, config.sample_pow)
+            if probs is not None:
+                w = sample_prob_edge_weights(dataset, probs)
+            else:
+                w = popularity_positive_edge_weights(dataset, config.sample_pow)
             self.edge_alias = edge_alias_from_weights(w)
 
         # out-of-core numeric features (dask variant): their projections enter
