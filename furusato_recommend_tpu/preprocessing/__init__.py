@@ -6,6 +6,7 @@ extend when new products/customers/transactions arrive without full recompute
 integration test tests/test_preprocessing.py mirrors it)."""
 
 from .artifacts import write_artifacts
+from .pipeline import run_preprocessing
 from .filtering import five_core, k_core, read_recbole, ten_core, write_recbole
 from .categorical import (
     CategoricalFeature,
@@ -21,6 +22,7 @@ from .text import ProductReviewFeature, ProductTextFeature, join_nouns
 
 __all__ = [
     "write_artifacts",
+    "run_preprocessing",
     "k_core",
     "five_core",
     "ten_core",

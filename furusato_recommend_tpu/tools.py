@@ -163,6 +163,37 @@ def cmd_rerank_eval(args):
     print(json.dumps(results, indent=2))
 
 
+def cmd_preprocess(args):
+    """preprocessing_main.py equivalent (`/root/reference/preprocessing_main.py:12-126`):
+    raw dataframes -> ID dedup -> categorical/numeric/text/category features ->
+    optional incremental update round -> training-ready artifact directory
+    (+ cf/train.txt / cf/test.txt interaction splits)."""
+    import pandas as pd
+
+    from .preprocessing.pipeline import run_preprocessing
+
+    def _read(path):
+        if path is None:
+            return None
+        if path.endswith(".pkl"):
+            return pd.read_pickle(path)
+        return pd.read_csv(path)
+
+    summary = run_preprocessing(
+        _read(args.products),
+        _read(args.customers),
+        _read(args.transactions),
+        args.out,
+        product_category=_read(args.product_category),
+        partner=_read(args.partner),
+        reviews=_read(args.reviews),
+        suffix=args.suffix,
+        incremental_frac=args.incremental_frac,
+        test_holdout=args.test_holdout,
+    )
+    print(json.dumps(summary, indent=2))
+
+
 def cmd_convert_recbole(args):
     import pandas as pd
 
@@ -251,6 +282,25 @@ def main(argv=None):
     r.add_argument("--data_path", default="./data")
     r.add_argument("--k", type=int, default=10)
     r.set_defaults(fn=cmd_rerank_eval)
+
+    pp = sub.add_parser(
+        "preprocess",
+        help="preprocessing_main.py equivalent: raw dataframes -> artifact dir",
+    )
+    pp.add_argument("--products", required=True, help=".csv or .pkl product frame")
+    pp.add_argument("--customers", required=True)
+    pp.add_argument("--transactions", required=True)
+    pp.add_argument("--product_category", default=None)
+    pp.add_argument("--partner", default=None)
+    pp.add_argument("--reviews", default=None)
+    pp.add_argument("--out", required=True, help="artifact directory (becomes --data_path)")
+    pp.add_argument("--suffix", default="")
+    pp.add_argument("--incremental_frac", type=float, default=0.1,
+                    help="fraction of every input pushed through update() after "
+                         "initialize (the reference's OFFSET slicing; 0 disables)")
+    pp.add_argument("--test_holdout", type=int, default=1,
+                    help="last-k interactions per user written to cf/test.txt")
+    pp.set_defaults(fn=cmd_preprocess)
 
     c = sub.add_parser(
         "convert-recbole",
