@@ -79,12 +79,16 @@ def main():
     ap.add_argument("--neg_candidates", type=int, default=4)
     ap.add_argument("--f32_exact", action="store_true")
     ap.add_argument("--feature_update_every", type=int, default=1)
+    ap.add_argument("--relin_every", type=int, default=1,
+                    help="initial-table re-linearization cadence (0 = the "
+                         "round-2 epoch-start linearization, measured unstable)")
     args = ap.parse_args()
 
     cfg = ddp_flagship_config().replace(
         eval_user_batch=2048, topks=(10, 20), seed=args.seed,
         neg_candidates=args.neg_candidates,
         feature_update_every=args.feature_update_every,
+        relin_every=args.relin_every,
         test_span=args.test_span, epochs=args.epochs,
     )
     ds = load_dataset()
@@ -133,7 +137,8 @@ def main():
         "samples_per_epoch": tr.samples_per_epoch,
         "exact_membership": args.exact_membership,
         "neg_candidates": args.neg_candidates, "f32_exact": args.f32_exact,
-        "feature_update_every": args.feature_update_every, "seed": args.seed,
+        "feature_update_every": args.feature_update_every,
+        "relin_every": args.relin_every, "seed": args.seed,
     }
     print(json.dumps(meta), flush=True)
     f.write(json.dumps(meta) + "\n")

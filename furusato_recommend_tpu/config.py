@@ -138,6 +138,19 @@ class Config:
     #: trades a slightly staler feature trajectory for ~1.4x step throughput.
     #: T=1 (default) is exactly the reference recipe.
     feature_update_every: int = 1
+    #: Re-linearization cadence of the epoch-cached initial tables (SAGE-family
+    #: models, train_emb=False). The reference FLAGSHIP recomputes feature
+    #: embeddings fresh per minibatch (`/root/reference/ddp.py:607-609`);
+    #: relin_every=R recomputes the all-entity tables + their jax.vjp every R
+    #: steps inside the epoch program. R=1 (default) is mathematically the
+    #: fresh-per-step gradient (reference-flagship parity) at ~the cost of one
+    #: tables forward per step; R>1 bounds gradient staleness to R steps;
+    #: R=0 keeps the epoch-start linearization (the non-flagship
+    #: `/root/reference/model/graphsage.py:391-394` retain_graph recipe —
+    #: measured UNSTABLE at scale: benchmarks/quality_curve.py + PERF.md
+    #: "feature-linearization staleness"). When feature_update_every > 1 the
+    #: super-step boundary is the re-linearization point (cadence = T).
+    relin_every: int = 1
 
     def __post_init__(self):
         for f in self.user_feature:

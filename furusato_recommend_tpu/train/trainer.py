@@ -100,6 +100,29 @@ class Trainer:
                     "epoch-cached initial tables"
                 )
             self.num_batches = -(-self.num_batches // self.feat_every) * self.feat_every
+        # epoch-cached path? (must mirror _build_train_epoch's use_cache rule)
+        import inspect
+
+        self._use_cache = (
+            not config.train_emb
+            and hasattr(model, "initial_tables")
+            and not getattr(model, "full_graph_train", False)
+            and "tables" in inspect.signature(model.loss).parameters
+        )
+        # relin_every R: re-linearization cadence of the cached initial tables
+        # (config.relin_every docstring; measured in PERF.md). The OOC path
+        # stays on the epoch linearization (its X^T@G update is epoch-delayed
+        # by design); feature_update_every > 1 re-linearizes per super-step.
+        self.relin_every = int(config.relin_every)
+        if self.relin_every < 0:
+            raise ValueError(f"relin_every must be >= 0, got {self.relin_every}")
+        if (
+            self._use_cache
+            and not getattr(model, "ooc_numeric", None)
+            and self.feat_every == 1
+            and self.relin_every > 1
+        ):
+            self.num_batches = -(-self.num_batches // self.relin_every) * self.relin_every
         self.samples_per_epoch = self.num_batches * bs
 
         # weighted-sampling recipes -> alias tables (host build, device sample)
@@ -218,21 +241,19 @@ class Trainer:
         compiles; overflows remote-compile payloads at production scale)."""
         model, opt = self.model, self.optimizer
         nb, T = self.num_batches, self.feat_every
+        R = self.relin_every
         opt_feat = getattr(self, "opt_feat", None)
         # train_emb=False (reference default): compute the all-entity initial
-        # (feature) embeddings ONCE per epoch and reuse the epoch-start
-        # linearization (jax.vjp) for their gradients in every step — the
-        # reference's per-epoch get_initial_embedding + retain_graph recipe
-        # (`/root/reference/model/graphsage.py:368-394`) made sound. Applies to
-        # models exposing initial_tables() and a loss(tables=) hook.
-        import inspect
-
-        use_cache = (
-            not self.config.train_emb
-            and hasattr(model, "initial_tables")
-            and not getattr(model, "full_graph_train", False)
-            and "tables" in inspect.signature(model.loss).parameters
-        )
+        # (feature) embeddings from a jax.vjp linearization instead of
+        # re-assembling raw features per tree node (the reference flagship's
+        # per-minibatch get_initial_emb, `/root/reference/ddp.py:607-609`,
+        # measured 10x slower as a per-node assembly — PERF.md "TextSAGE").
+        # The linearization is REFRESHED every relin_every steps: R=1 is
+        # mathematically the fresh-per-step gradient; the round-2 epoch-start
+        # linearization (R=0; the non-flagship retain_graph recipe,
+        # `/root/reference/model/graphsage.py:368-394`) is measured UNSTABLE
+        # at scale (PERF.md "feature-linearization staleness").
+        use_cache = self._use_cache
         has_ooc = bool(self.ooc)
         if has_ooc and not use_cache:
             raise ValueError(
@@ -248,41 +269,45 @@ class Trainer:
         def train_epoch(params, opt_state, key, graph, batches, bound):
             with model.bind(bound):
                 if use_cache:
-                    if has_ooc:
-                        # vjp also w.r.t. the streamed numeric projections; the
-                        # scan accumulates their cotangents for the post-epoch
-                        # streamed X^T@G pass (data/ooc.py)
-                        tables0, tables_vjp = jax.vjp(
-                            lambda p, pr: model.initial_tables(p, ooc_proj=pr),
-                            params,
-                            model._ooc_proj,
-                        )
-                    else:
-                        tables0, tables_vjp = jax.vjp(model.initial_tables, params)
+
+                    def make_lin(p):
+                        if has_ooc:
+                            # vjp also w.r.t. the streamed numeric projections;
+                            # the scan accumulates their cotangents for the
+                            # post-epoch streamed X^T@G pass (data/ooc.py)
+                            return jax.vjp(
+                                lambda q, pr: model.initial_tables(q, ooc_proj=pr),
+                                p,
+                                model._ooc_proj,
+                            )
+                        return jax.vjp(model.initial_tables, p)
 
                     def cached_loss(p, t, batch, k):
                         return model.loss(p, graph, batch, k, tables=t)
 
-                    def train_step(carry, inp):
-                        if has_ooc:
-                            params, opt_state, acc = carry
-                        else:
-                            params, opt_state = carry
-                        batch, k = inp
-                        (loss, _aux), (g_p, g_t) = jax.value_and_grad(
-                            cached_loss, argnums=(0, 1), has_aux=True
-                        )(params, tables0, batch, k)
-                        if has_ooc:
-                            g_feat, g_pr = tables_vjp(g_t)
-                            acc = jax.tree_util.tree_map(jnp.add, acc, g_pr)
-                        else:
-                            (g_feat,) = tables_vjp(g_t)
-                        grads = jax.tree_util.tree_map(jnp.add, g_p, g_feat)
-                        updates, opt_state = opt.update(grads, opt_state, params)
-                        params = optax.apply_updates(params, updates)
-                        if has_ooc:
-                            return (params, opt_state, acc), loss
-                        return (params, opt_state), loss
+                    def make_train_step(tables0, tables_vjp):
+                        def train_step(carry, inp):
+                            if has_ooc:
+                                params, opt_state, acc = carry
+                            else:
+                                params, opt_state = carry
+                            batch, k = inp
+                            (loss, _aux), (g_p, g_t) = jax.value_and_grad(
+                                cached_loss, argnums=(0, 1), has_aux=True
+                            )(params, tables0, batch, k)
+                            if has_ooc:
+                                g_feat, g_pr = tables_vjp(g_t)
+                                acc = jax.tree_util.tree_map(jnp.add, acc, g_pr)
+                            else:
+                                (g_feat,) = tables_vjp(g_t)
+                            grads = jax.tree_util.tree_map(jnp.add, g_p, g_feat)
+                            updates, opt_state = opt.update(grads, opt_state, params)
+                            params = optax.apply_updates(params, updates)
+                            if has_ooc:
+                                return (params, opt_state, acc), loss
+                            return (params, opt_state), loss
+
+                        return train_step
 
                 else:
 
@@ -309,21 +334,28 @@ class Trainer:
                     # applies the feature params' own masked adam. Gradient
                     # accumulation for the feature params only — documented
                     # trajectory deviation, opt-in (config.feature_update_every).
-                    def inner_step(carry, inp):
-                        params, opt_d, acc_t, acc_p = carry
-                        batch, k = inp
-                        (loss, _aux), (g_p, g_t) = jax.value_and_grad(
-                            cached_loss, argnums=(0, 1), has_aux=True
-                        )(params, tables0, batch, k)
-                        acc_t = jax.tree_util.tree_map(jnp.add, acc_t, g_t)
-                        acc_p = jax.tree_util.tree_map(jnp.add, acc_p, g_p)
-                        updates, opt_d = opt.update(g_p, opt_d, params)
-                        params = optax.apply_updates(params, updates)
-                        return (params, opt_d, acc_t, acc_p), loss
+                    # R != 0 re-linearizes at every super-step boundary.
+                    lin_epoch = make_lin(params) if R == 0 else None
 
                     def outer_step(carry, inp):
                         params, opt_d, opt_f = carry
                         batch_t, keys_t = inp
+                        tables0, tables_vjp = (
+                            lin_epoch if R == 0 else make_lin(params)
+                        )
+
+                        def inner_step(carry, inp):
+                            params, opt_d, acc_t, acc_p = carry
+                            batch, k = inp
+                            (loss, _aux), (g_p, g_t) = jax.value_and_grad(
+                                cached_loss, argnums=(0, 1), has_aux=True
+                            )(params, tables0, batch, k)
+                            acc_t = jax.tree_util.tree_map(jnp.add, acc_t, g_t)
+                            acc_p = jax.tree_util.tree_map(jnp.add, acc_p, g_p)
+                            updates, opt_d = opt.update(g_p, opt_d, params)
+                            params = optax.apply_updates(params, updates)
+                            return (params, opt_d, acc_t, acc_p), loss
+
                         acc_t0 = jax.tree_util.tree_map(jnp.zeros_like, tables0)
                         acc_p0 = jax.tree_util.tree_map(jnp.zeros_like, params)
                         (params, opt_d, acc_t, acc_p), losses = jax.lax.scan(
@@ -353,6 +385,33 @@ class Trainer:
                         (jax.tree_util.tree_map(rs, batches), rs(step_keys)),
                     )
                     return params, (opt_d, opt_f), jnp.mean(losses)
+                if use_cache and not has_ooc and R >= 1:
+                    # bounded-staleness linearization: outer scan over nb/R
+                    # super-chunks, fresh jax.vjp of the all-entity tables at
+                    # the top of each chunk (R=1 == fresh-per-step gradients,
+                    # the reference flagship's per-minibatch recompute)
+                    def super_step(carry, inp):
+                        params, opt_state = carry
+                        batch_r, keys_r = inp
+                        step = make_train_step(*make_lin(params))
+                        (params, opt_state), losses = jax.lax.scan(
+                            step, (params, opt_state), (batch_r, keys_r)
+                        )
+                        return (params, opt_state), losses
+
+                    def rs(x):
+                        return x.reshape((nb // R, R) + x.shape[1:])
+
+                    (params, opt_state), losses = jax.lax.scan(
+                        super_step,
+                        (params, opt_state),
+                        (jax.tree_util.tree_map(rs, batches), rs(step_keys)),
+                    )
+                    return params, opt_state, jnp.mean(losses)
+                if use_cache:
+                    # R == 0 (epoch-start linearization) or the OOC path (its
+                    # X^T@G feature update is epoch-delayed by design)
+                    train_step = make_train_step(*make_lin(params))
                 carry0 = (params, opt_state)
                 if has_ooc and use_cache:
                     carry0 = carry0 + (

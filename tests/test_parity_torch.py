@@ -302,3 +302,71 @@ def test_quality_parity_textsage():
     spread = max(np.ptp(ours), np.ptp(theirs), 0.03)
     assert abs(ours_m - theirs_m) <= 3 * spread, (ours, theirs)
     assert ours_m > 0.05 and theirs_m > 0.05, (ours, theirs)
+
+
+# ---------------------------------------------------------------------------
+# Mid-scale parity anchors (round-2 verdict next #1): 2048 x 1024 on the
+# STRUCTURED synthetic dataset (ground-truth low-rank latents -> recall has
+# collaborative headroom), so the torch comparison no longer rests on a
+# 160-item catalog. Calibration runs (this shape, 15 epochs): lgn ours
+# ~0.28 vs torch ~0.27; textsage (8 epochs) ours ~0.06-0.075 vs torch ~0.066.
+# ---------------------------------------------------------------------------
+
+
+def _midscale_ds():
+    from furusato_recommend_tpu.data.dataset import synthetic_structured_dataset
+
+    return synthetic_structured_dataset(
+        n_users=2048, m_items=1024, avg_degree=12, seed=11, rank=8, signal=3.5
+    )
+
+
+def test_quality_parity_lgn_midscale():
+    ds = _midscale_ds()
+    epochs, dim, lr = 15, 32, 0.02
+    ours = [_tpu_recall(ds, "lgn", epochs, dim, lr, seed=s) for s in (0, 1)]
+    theirs = [_torch_recall(ds, "lgn", epochs, dim, lr, seed=s) for s in (0, 1)]
+    ours_m, theirs_m = np.mean(ours), np.mean(theirs)
+    spread = max(np.ptp(ours), np.ptp(theirs), 0.01)
+    assert abs(ours_m - theirs_m) <= 3 * spread, (ours, theirs)
+    # both genuinely learned the latent structure (popularity alone plateaus
+    # far below this at 1024 items)
+    assert ours_m > 0.2 and theirs_m > 0.2, (ours, theirs)
+
+
+def test_quality_parity_textsage_midscale():
+    """Flagship model at mid scale under the production recipe (epoch-cached
+    tables with the default relin_every=1 re-linearization — the recipe whose
+    round-2 epoch-start-linearization form was measured UNSTABLE here:
+    seed-dependent 5x recall collapses; see PERF.md)."""
+    from furusato_recommend_tpu.data.features import synthetic_features
+    from furusato_recommend_tpu.train.trainer import Trainer
+
+    ds = _midscale_ds()
+    epochs, dim, lr = 8, 16, 0.01
+    cfg = Config(
+        model="textsage", latent_dim=dim, bpr_batch_size=256, lr=lr,
+        num_neighbors=3, n_layers=2, user_feature="nwt", item_feature="nwt",
+        eval_user_batch=256, topks=(10,), decay=1e-6,
+    )
+    feats = synthetic_features(ds, cfg, seed=4)
+    ours = []
+    for s in (0, 1):
+        model = build_model("textsage", cfg.replace(seed=s), ds.graph, features=feats)
+        tr = Trainer(cfg.replace(seed=s), ds, model)
+        params, opt_state = tr.init_state(seed=s)
+        for _ in range(epochs):
+            params, opt_state, _ = tr.train_one_epoch(params, opt_state)
+        ours.append(tr.test(params)["recall@10"])
+    fu, fi = _np_feats(feats.user), _np_feats(feats.item)
+    theirs = _torch_textsage_recall(ds, fu, fi, feats.text_vocab, epochs, dim, lr, seed=0)
+    ours_m = np.mean(ours)
+    # the torch oracle recomputes feature embeddings per batch (the reference
+    # flagship's recipe, ddp.py:607-609) — our relin_every=1 default is its
+    # mathematical equivalent
+    assert abs(ours_m - theirs) <= max(0.025, 3 * np.ptp(ours)), (ours, theirs)
+    assert ours_m > 0.04 and theirs > 0.04, (ours, theirs)
+    # the unstable epoch-start linearization must stay quarantined: R=0 is
+    # opt-in only (this is a regression guard on the default, not a quality
+    # assertion about R=0 itself)
+    assert Config().relin_every >= 1
