@@ -102,6 +102,15 @@ class Recommender:
         )
         return np.asarray(ids)[:n], np.asarray(scores)[:n]
 
+    def reload_checkpoint(self, ckpt_path: str) -> None:
+        """Hot-swap params from a newer checkpoint (the preprocessing/retrain
+        loop's deploy step) and re-propagate."""
+        from .core.checkpoint import load_checkpoint
+
+        state = load_checkpoint(ckpt_path)
+        params = jax.tree_util.tree_map(jnp.asarray, state["params"])
+        self.refresh(params)
+
     @classmethod
     def from_checkpoint(
         cls, ckpt_path: str, data_path: Optional[str] = None, **kw
@@ -129,3 +138,133 @@ class Recommender:
         model = build_model(config.model, config, graph, **model_kw)
         params = jax.tree_util.tree_map(jnp.asarray, state["params"])
         return cls(model, dataset, config, params, **kw)
+
+
+# ---------------------------------------------------------------------------
+# HTTP endpoint (stdlib-only) — `python -m furusato_recommend_tpu.serve`
+# ---------------------------------------------------------------------------
+
+
+def make_server(rec: Recommender, host: str = "127.0.0.1", port: int = 8080):
+    """JSON-over-HTTP front end for the Recommender (TPU-native production
+    addition; the reference has no serving entry point):
+
+      GET  /healthz                      -> {"ok": true, ...}
+      GET  /recommend?user=3&k=10        -> {"user": 3, "items": [...], "scores": [...]}
+      POST /recommend  {"users": [3,17], "k": 10}   -> batch form
+      POST /reload     {"ckpt": "path"}  -> hot-swap params + re-propagate
+
+    Stdlib ThreadingHTTPServer; device work is serialized behind one lock (a
+    single chip serves one program at a time anyway — requests batch through
+    the power-of-two-tile executable cache).
+    """
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            body = _json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            if u.path == "/healthz":
+                return self._send(
+                    200,
+                    {
+                        "ok": True,
+                        "n_users": int(rec._mask_graph.n_users),
+                        "m_items": int(rec._mask_graph.m_items),
+                        "model": rec.config.model,
+                    },
+                )
+            if u.path == "/recommend":
+                q = parse_qs(u.query)
+                try:
+                    users = [int(x) for x in q["user"]]
+                    k = int(q.get("k", ["10"])[0])
+                except (KeyError, ValueError):
+                    return self._send(400, {"error": "need ?user=<id>[&k=N]"})
+                if any(not 0 <= x < rec._mask_graph.n_users for x in users):
+                    return self._send(400, {"error": "user id out of range"})
+                with lock:
+                    ids, scores = rec.recommend(users, k=k)
+                out = [
+                    {"user": u_, "items": i.tolist(),
+                     "scores": [round(float(s), 5) for s in sc]}
+                    for u_, i, sc in zip(users, ids, scores)
+                ]
+                return self._send(200, out[0] if len(out) == 1 else out)
+            return self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = _json.loads(self.rfile.read(n) or b"{}")
+            except ValueError:
+                return self._send(400, {"error": "bad json"})
+            if self.path == "/recommend":
+                users = payload.get("users")
+                if not isinstance(users, list) or not users:
+                    return self._send(400, {"error": "need {'users': [...]}"})
+                k = int(payload.get("k", 10))
+                if any(not 0 <= int(x) < rec._mask_graph.n_users for x in users):
+                    return self._send(400, {"error": "user id out of range"})
+                with lock:
+                    ids, scores = rec.recommend([int(x) for x in users], k=k)
+                return self._send(
+                    200,
+                    [
+                        {"user": int(u_), "items": i.tolist(),
+                         "scores": [round(float(s), 5) for s in sc]}
+                        for u_, i, sc in zip(users, ids, scores)
+                    ],
+                )
+            if self.path == "/reload":
+                ckpt = payload.get("ckpt")
+                if not ckpt:
+                    return self._send(400, {"error": "need {'ckpt': path}"})
+                try:
+                    with lock:
+                        rec.reload_checkpoint(ckpt)
+                except Exception as e:  # surface load errors to the operator
+                    return self._send(500, {"error": str(e)})
+                return self._send(200, {"ok": True})
+            return self._send(404, {"error": "unknown path"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="furusato_recommend_tpu.serve")
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--data_path", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--train_edges_only", action="store_true")
+    args = ap.parse_args(argv)
+    rec = Recommender.from_checkpoint(
+        args.ckpt,
+        data_path=args.data_path,
+        use_inference_edges=not args.train_edges_only,
+    )
+    srv = make_server(rec, args.host, args.port)
+    print(f"serving on http://{args.host}:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -104,3 +104,79 @@ def test_from_checkpoint(tmp_path, env):
     rec = Recommender.from_checkpoint(str(ck))
     ids, _ = rec.recommend([0, 1], k=5)
     assert ids.shape == (2, 5)
+
+
+def test_http_server_endpoints(env):
+    """The stdlib HTTP front end: healthz, GET/POST recommend, validation, and
+    checkpoint hot-reload — all against an ephemeral in-process server."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from furusato_recommend_tpu.serve import make_server
+
+    cfg, ds, model, params = env
+    rec = Recommender(model, ds, cfg, params, use_inference_edges=False)
+    srv = make_server(rec, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        h = json.load(urllib.request.urlopen(f"{base}/healthz"))
+        assert h["ok"] and h["n_users"] == 64 and h["model"] == "lgn"
+
+        one = json.load(urllib.request.urlopen(f"{base}/recommend?user=3&k=5"))
+        assert one["user"] == 3 and len(one["items"]) == 5
+        want_ids, _ = rec.recommend([3], k=5)
+        assert one["items"] == want_ids[0].tolist()
+
+        req = urllib.request.Request(
+            f"{base}/recommend",
+            data=json.dumps({"users": [1, 7], "k": 4}).encode(),
+            method="POST",
+        )
+        batch = json.load(urllib.request.urlopen(req))
+        assert [r["user"] for r in batch] == [1, 7]
+        assert all(len(r["items"]) == 4 for r in batch)
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/recommend?user=9999")
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/nope")
+        assert e.value.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_http_reload(env, tmp_path):
+    import json
+    import threading
+    import urllib.request
+
+    from furusato_recommend_tpu.core.checkpoint import save_checkpoint
+    from furusato_recommend_tpu.serve import make_server
+
+    cfg, ds, model, params = env
+    rec = Recommender(model, ds, cfg, params, use_inference_edges=False)
+    before = rec.recommend([5], k=5)[0]
+    # a different-parameter checkpoint changes the recommendations
+    params2 = model.init(jax.random.PRNGKey(9))
+    ck = tmp_path / "new.ckpt"
+    save_checkpoint(ck, {"params": params2}, cfg)
+    srv = make_server(rec, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reload",
+            data=json.dumps({"ckpt": str(ck)}).encode(),
+            method="POST",
+        )
+        assert json.load(urllib.request.urlopen(req))["ok"]
+        after = rec.recommend([5], k=5)[0]
+        assert not np.array_equal(before, after)
+    finally:
+        srv.shutdown()
