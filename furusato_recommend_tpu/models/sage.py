@@ -160,6 +160,11 @@ class SAGE(PairwiseModel):
             hub_count=cls.TEXT_HUB_WORDS,
             transpose_hub=True,
             hub_mem_budget=cls.TEXT_HUB_BUDGET,
+            # post-hub bag tail degree is 0-2 (the hub absorbs frequent words),
+            # so the default cap floor of 4 pads ~4x more gather slots than
+            # there are real entries — and the gather is issue-rate bound per
+            # SLOT (PERF.md "text-hub padding")
+            min_cap=1,
         )
 
     def _all_text_bags(self, params, side: str):

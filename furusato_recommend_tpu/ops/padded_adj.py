@@ -45,7 +45,9 @@ class PaddedAdj:
     # (0-padded, so pads contribute nothing)
     bucket_nbrs: Tuple[jnp.ndarray, ...]
     bucket_weights: Tuple[jnp.ndarray, ...]
-    inv_perm: jnp.ndarray  # [num_dst] int32: output position -> bucket-order row
+    # [num_dst] int32: output position -> bucket-order row; None when the hub
+    # splits absorbed every edge (empty tail -> the SpMM tail is just zeros)
+    inv_perm: Optional[jnp.ndarray]
     num_dst: int = field(metadata=dict(static=True), default=0)
     hub_ids: Optional[jnp.ndarray] = None  # [H] int32 hub source ids
     hub_weights: Optional[jnp.ndarray] = None  # [num_dst, H] bf16 dense weights
@@ -104,16 +106,24 @@ def build_padded_adj(
         freq = np.bincount(src) if len(src) else np.zeros(1, np.int64)
         h = min(hub_count, max_h, len(freq))
         if h >= 64:
-            h = (h // 64) * 64  # lane-align the hub axis
+            # lane-align the hub axis by PADDING with zero columns, not by
+            # truncating: rounding h DOWN spills the remainder sources onto the
+            # issue-rate-bound gather tail (measured: 52 spilled words cost the
+            # flagship text fwd ~3 ms/step — PERF.md "text-hub padding")
+            h_pad = ((h + 63) // 64) * 64
             hub_ids = np.argsort(freq)[::-1][:h].copy()
             is_hub = np.zeros(freq.shape[0], dtype=bool)
             is_hub[hub_ids] = True
             hub_col = np.full(freq.shape[0], -1, dtype=np.int64)
             hub_col[hub_ids] = np.arange(h)
             on_hub = is_hub[src]
-            dense = np.zeros((num_dst, h), dtype=np.float32)
+            dense = np.zeros((num_dst, h_pad), dtype=np.float32)
             np.add.at(dense, (dst[on_hub], hub_col[src[on_hub]]), weight[on_hub])
-            hub_ids_arr = jnp.asarray(hub_ids, jnp.int32)
+            # dummy id 0 for pad columns: their dense weights are zero, so the
+            # extra x[0] gathers contribute nothing
+            hub_ids_arr = jnp.asarray(
+                np.concatenate([hub_ids, np.zeros(h_pad - h, np.int64)]), jnp.int32
+            )
             hub_w_arr = jnp.asarray(dense, jnp.bfloat16)
             src, dst, weight = src[~on_hub], dst[~on_hub], weight[~on_hub]
     dst_hub_ids_arr = dst_hub_w_arr = None
@@ -170,6 +180,20 @@ def build_padded_adj(
         weights.append(np.where(mask, w_s[pos_c], 0.0).astype(np.float32))
         node_order.append(nodes)
     node_order = np.concatenate(node_order) if node_order else np.empty(0, np.int64)
+    if len(node_order) == 0:
+        # every edge went dense: no tail at all — _apply emits zeros instead of
+        # un-permuting num_dst rows out of a 1-row zero bucket (that inv_perm
+        # gather alone would cost ~2.5 ns x num_dst)
+        return PaddedAdj(
+            bucket_nbrs=(),
+            bucket_weights=(),
+            inv_perm=None,
+            num_dst=int(num_dst),
+            hub_ids=hub_ids_arr,
+            hub_weights=hub_w_arr,
+            dst_hub_ids=dst_hub_ids_arr,
+            dst_hub_weights=dst_hub_w_arr,
+        )
     n_zero = num_dst - len(node_order)
     if n_zero > 0:
         # one [1, cap0] all-zero bucket row that every zero-degree dst reads
@@ -199,6 +223,7 @@ def build_padded_pair(
     transpose_hub: bool = False,
     hub_mem_budget: int = 512 * 1024 * 1024,
     dst_hub_count: int = 0,
+    min_cap: int = 4,
 ) -> PaddedAdjPair:
     """transpose_hub=False: fwd and bwd each pick their own src-hub split
     (right for the bipartite interaction graph, where both directions have
@@ -212,11 +237,11 @@ def build_padded_pair(
         return PaddedAdjPair(
             fwd=build_padded_adj(
                 src, dst, weight, num_dst, hub_count=hub_count,
-                dst_hub_count=dst_hub_count, num_src=num_src,
+                dst_hub_count=dst_hub_count, num_src=num_src, min_cap=min_cap,
             ),
             bwd=build_padded_adj(
                 dst, src, weight, num_src, hub_count=hub_count,
-                dst_hub_count=dst_hub_count, num_src=num_dst,
+                dst_hub_count=dst_hub_count, num_src=num_dst, min_cap=min_cap,
             ),
         )
     src = np.asarray(src, dtype=np.int64)
@@ -228,22 +253,26 @@ def build_padded_pair(
         freq = np.bincount(src, minlength=num_src)
         h = min(hub_count, max_h, num_src)
         if h >= 64:
-            h = (h // 64) * 64
+            # pad-align (see build_padded_adj): truncating to a multiple of 64
+            # spills sources onto the gather tail in BOTH directions here
+            h_pad = ((h + 63) // 64) * 64
             hub_ids = np.argsort(freq)[::-1][:h].copy()
             is_hub = np.zeros(num_src, dtype=bool)
             is_hub[hub_ids] = True
             hub_col = np.full(num_src, -1, dtype=np.int64)
             hub_col[hub_ids] = np.arange(h)
             on_hub = is_hub[src]
-            dense = np.zeros((num_dst, h), dtype=np.float32)
+            dense = np.zeros((num_dst, h_pad), dtype=np.float32)
             np.add.at(dense, (dst[on_hub], hub_col[src[on_hub]]), weight[on_hub])
-            hub_ids_arr = jnp.asarray(hub_ids, jnp.int32)
+            hub_ids_arr = jnp.asarray(
+                np.concatenate([hub_ids, np.zeros(h_pad - h, np.int64)]), jnp.int32
+            )
             hub_w_arr = jnp.asarray(dense, jnp.bfloat16)
             src, dst, weight = src[~on_hub], dst[~on_hub], weight[~on_hub]
     from dataclasses import replace
 
-    fwd = build_padded_adj(src, dst, weight, num_dst, hub_count=0)
-    bwd = build_padded_adj(dst, src, weight, num_src, hub_count=0)
+    fwd = build_padded_adj(src, dst, weight, num_dst, hub_count=0, min_cap=min_cap)
+    bwd = build_padded_adj(dst, src, weight, num_src, hub_count=0, min_cap=min_cap)
     if hub_w_arr is not None:
         fwd = replace(fwd, hub_ids=hub_ids_arr, hub_weights=hub_w_arr)
         bwd = replace(bwd, hub_in_weights=hub_w_arr, hub_scatter_ids=hub_ids_arr)
@@ -262,12 +291,16 @@ def _apply(adj: PaddedAdj, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
     grows by 1.26x (less padding = fewer issued rows) and why a padded slot
     costs nearly as much as a real edge."""
     xc = x.astype(compute_dtype)
-    outs = []
-    for nbr, w in zip(adj.bucket_nbrs, adj.bucket_weights):
-        xg = xc[nbr]  # [n_b, cap, d] gather — the issue-rate-bound op
-        wb = w.astype(compute_dtype)[..., None]
-        outs.append(jnp.sum((xg * wb).astype(jnp.float32), axis=1))
-    y = jnp.concatenate(outs, axis=0)[adj.inv_perm]
+    if not adj.bucket_nbrs:
+        # empty tail (hub splits absorbed every edge)
+        y = jnp.zeros((adj.num_dst, x.shape[-1]), jnp.float32)
+    else:
+        outs = []
+        for nbr, w in zip(adj.bucket_nbrs, adj.bucket_weights):
+            xg = xc[nbr]  # [n_b, cap, d] gather — the issue-rate-bound op
+            wb = w.astype(compute_dtype)[..., None]
+            outs.append(jnp.sum((xg * wb).astype(jnp.float32), axis=1))
+        y = jnp.concatenate(outs, axis=0)[adj.inv_perm]
     if adj.hub_weights is not None:
         xh = xc[adj.hub_ids].astype(jnp.bfloat16)  # [H, d] — small gather
         y = y + jnp.dot(adj.hub_weights, xh, preferred_element_type=jnp.float32)

@@ -385,6 +385,22 @@ class Trainer:
                         (jax.tree_util.tree_map(rs, batches), rs(step_keys)),
                     )
                     return params, (opt_d, opt_f), jnp.mean(losses)
+                if use_cache and not has_ooc and R == 1:
+                    # fresh-per-step linearization as ONE flat scan: the
+                    # R-chunked scan-of-scans below costs a measured +38%
+                    # scheduling overhead over the tables-fwd itself at R=1
+                    # (PERF.md "relin_every cost"); with the jax.vjp inline in
+                    # the step body the epoch is a single scan, same math
+                    # (tests/test_relin.py pins equality to train_emb=True)
+                    def flat_step(carry, inp):
+                        params, opt_state = carry
+                        step = make_train_step(*make_lin(params))
+                        return step((params, opt_state), inp)
+
+                    (params, opt_state), losses = jax.lax.scan(
+                        flat_step, (params, opt_state), (batches, step_keys)
+                    )
+                    return params, opt_state, jnp.mean(losses)
                 if use_cache and not has_ooc and R >= 1:
                     # bounded-staleness linearization: outer scan over nb/R
                     # super-chunks, fresh jax.vjp of the all-entity tables at

@@ -210,6 +210,56 @@ def test_padded_pair_transpose_hub_matches_scipy():
     np.testing.assert_allclose(gx, expect, rtol=2e-2, atol=2e-1)
 
 
+def test_padded_pair_full_hub_empty_tail_matches_scipy():
+    """When the hub budget covers EVERY source (small vocab), the hub axis is
+    pad-aligned to 64 with zero columns (not truncated, which would spill the
+    remainder onto the gather tail) and the tail is empty — the SpMM and its
+    transpose-VJP must still be exact."""
+    from furusato_recommend_tpu.ops.padded_adj import build_padded_pair, padded_spmm
+
+    rng = np.random.default_rng(11)
+    n_src, n_dst, e = 500, 300, 4000  # 500 is NOT a multiple of 64
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst, e)
+    w = rng.random(e).astype(np.float32)
+    x = rng.random((n_src, 8)).astype(np.float32)
+    pair = build_padded_pair(
+        src, dst, w, n_dst, n_src, hub_count=4096, transpose_hub=True,
+        hub_mem_budget=1 << 30, min_cap=1,
+    )
+    assert pair.fwd.hub_weights is not None
+    assert pair.fwd.hub_weights.shape[1] == 512, "hub axis should pad 500 -> 512"
+    assert pair.fwd.bucket_nbrs == (), "tail should be empty (all sources dense)"
+    assert pair.fwd.inv_perm is None
+    got = np.asarray(padded_spmm(pair, jnp.asarray(x), compute_dtype=jnp.float32))
+    a = sp.coo_matrix((w, (dst, src)), shape=(n_dst, n_src)).tocsr()
+    np.testing.assert_allclose(got, a @ x, rtol=2e-2, atol=2e-2)
+    f = lambda x: jnp.sum(padded_spmm(pair, x, compute_dtype=jnp.float32) ** 2)
+    gx = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    np.testing.assert_allclose(gx, 2 * (a.T @ (a @ x)), rtol=2e-2, atol=2e-1)
+
+
+def test_padded_adj_src_hub_pad_aligned_matches_scipy():
+    """build_padded_adj's src-hub split with a non-64-multiple source count:
+    pad columns carry dummy id 0 and zero weights — results stay exact."""
+    from furusato_recommend_tpu.ops.padded_adj import build_padded_adj, _apply
+
+    rng = np.random.default_rng(13)
+    n_src, n_dst, e = 150, 120, 1500
+    src = rng.integers(0, n_src, e)
+    dst = rng.integers(0, n_dst, e)
+    w = rng.random(e).astype(np.float32)
+    x = rng.random((n_src, 8)).astype(np.float32)
+    adj = build_padded_adj(
+        src, dst, w, n_dst, hub_count=4096, hub_mem_budget=1 << 30, min_cap=1
+    )
+    assert adj.hub_weights is not None
+    assert adj.hub_weights.shape[1] == 192, "hub axis should pad 150 -> 192"
+    got = np.asarray(_apply(adj, jnp.asarray(x), jnp.float32))
+    a = sp.coo_matrix((w, (dst, src)), shape=(n_dst, n_src)).tocsr()
+    np.testing.assert_allclose(got, a @ x, rtol=2e-2, atol=2e-2)
+
+
 def test_segment_softmax_aggregate_matches_dense():
     from furusato_recommend_tpu.data import synthetic_dataset
     from furusato_recommend_tpu.ops.segment import segment_softmax_aggregate
