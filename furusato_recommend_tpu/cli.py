@@ -64,6 +64,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--auc", action="store_true")
     p.add_argument("--feature_update_every", type=int, default=1,
                    help="T>1: feature-VJP + feature-param adam once per T steps (opt-in trajectory deviation)")
+    p.add_argument("--compile_cache", type=str, default="",
+                   help="persistent XLA compilation-cache dir (restarts skip the ~4-min epoch compile)")
     return p
 
 
@@ -112,6 +114,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         loss_fn=args.loss_fn,
         compute_auc=args.auc,
         feature_update_every=args.feature_update_every,
+        compile_cache=args.compile_cache,
     )
 
 

@@ -151,6 +151,12 @@ class Config:
     #: "feature-linearization staleness"). When feature_update_every > 1 the
     #: super-step boundary is the re-linearization point (cadence = T).
     relin_every: int = 1
+    #: Persistent XLA compilation-cache directory ("" = off). The flagship
+    #: epoch program costs ~4 min of XLA compile per process start (PERF.md);
+    #: with a cache dir, restarts (preemption recovery, serving hot-reload,
+    #: dev iterations) reload compiled executables from disk instead. Safe to
+    #: share across runs — XLA keys on program + compiler version + topology.
+    compile_cache: str = ""
 
     def __post_init__(self):
         for f in self.user_feature:

@@ -133,6 +133,11 @@ class Recommender:
         )
         if data_path:
             config = config.replace(data_path=data_path)
+        if config.compile_cache:
+            # hot-reload/restart skips the full-graph propagate compile
+            from .core.compile_cache import enable_compile_cache
+
+            enable_compile_cache(config.compile_cache)
         dataset = load_text_dataset(config)
         graph, model_kw = build_model_inputs(config, dataset)
         model = build_model(config.model, config, graph, **model_kw)

@@ -56,6 +56,11 @@ class Trainer:
         self.model = model
         self.graph = dataset.graph
         self.logger = logger or MetricLogger(quiet=config.test_mode)
+        if config.compile_cache:
+            # before any jit: restarts reload the ~4-min epoch/eval compiles
+            from ..core.compile_cache import enable_compile_cache
+
+            enable_compile_cache(config.compile_cache)
         # multi-chip: honor Config.mesh (--mesh_data/--mesh_model). The epoch
         # program shards batches over `data` and tables over `model`; eval goes
         # through the item-sharded distributed top-K merge. Replaces the
