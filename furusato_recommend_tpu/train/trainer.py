@@ -391,16 +391,28 @@ class Trainer:
                     )
                     return params, (opt_d, opt_f), jnp.mean(losses)
                 if use_cache and not has_ooc and R == 1:
-                    # fresh-per-step linearization as ONE flat scan: the
-                    # R-chunked scan-of-scans below costs a measured +38%
-                    # scheduling overhead over the tables-fwd itself at R=1
-                    # (PERF.md "relin_every cost"); with the jax.vjp inline in
-                    # the step body the epoch is a single scan, same math
-                    # (tests/test_relin.py pins equality to train_emb=True)
+                    # fresh-per-step gradients as ONE flat scan with the
+                    # all-entity tables computed INSIDE the differentiated
+                    # loss: at R=1 the explicit jax.vjp linearization + stitched
+                    # pullback is mathematically identical to one fused
+                    # autodiff pass (chain rule; equality to train_emb=True
+                    # pinned in tests/test_relin.py) but materializes the
+                    # [n_entities, d] cotangent and re-applies it separately —
+                    # one grad lets XLA schedule the whole backward together
+                    def fresh_loss(p, batch, k):
+                        return model.loss(
+                            p, graph, batch, k, tables=model.initial_tables(p)
+                        )
+
                     def flat_step(carry, inp):
                         params, opt_state = carry
-                        step = make_train_step(*make_lin(params))
-                        return step((params, opt_state), inp)
+                        batch, k = inp
+                        (loss, _aux), grads = jax.value_and_grad(
+                            fresh_loss, has_aux=True
+                        )(params, batch, k)
+                        updates, opt_state = opt.update(grads, opt_state, params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_state), loss
 
                     (params, opt_state), losses = jax.lax.scan(
                         flat_step, (params, opt_state), (batches, step_keys)

