@@ -31,10 +31,29 @@ def enable_compile_cache(cache_dir: str) -> None:
         return
     import jax
 
+    if _enabled_dir is not None:
+        # the cache dir is process-global jax config: a second Trainer with a
+        # different dir redirects the cache for EVERY model in the process —
+        # legal, but worth a loud note (ADVICE r3)
+        import warnings
+
+        warnings.warn(
+            f"compile cache already enabled at {_enabled_dir}; redirecting the "
+            f"process-global cache to {cache_dir}",
+            stacklevel=2,
+        )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.config.jax_persistent_cache_min_compile_time_secs == 1.0:
+        # jax's default already matches the intent; only assert it when the
+        # user hasn't customized the threshold themselves
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # cache regardless of backend (the default skips single-process CPU runs,
-    # which is exactly the 8-virtual-device test/dev configuration)
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    # which is exactly the 8-virtual-device test/dev configuration); same
+    # don't-clobber rule: leave a user-customized value alone
+    if (
+        jax.config.jax_persistent_cache_enable_xla_caches
+        == "xla_gpu_per_fusion_autotune_cache_dir"
+    ):
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     _enabled_dir = cache_dir

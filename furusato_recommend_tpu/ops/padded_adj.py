@@ -103,6 +103,10 @@ def build_padded_adj(
     hub_ids_arr = hub_w_arr = None
     if hub_count > 0:
         max_h = max(int(hub_mem_budget // max(num_dst * 2, 1)), 0)
+        # 64-align the budget bound DOWN so the lane-alignment padding below
+        # can never push the dense block past hub_mem_budget; zero-column
+        # padding then only occurs when h is vocabulary/hub_count-limited
+        max_h = (max_h // 64) * 64
         freq = np.bincount(src) if len(src) else np.zeros(1, np.int64)
         h = min(hub_count, max_h, len(freq))
         if h >= 64:
@@ -250,6 +254,7 @@ def build_padded_pair(
     hub_ids_arr = hub_w_arr = None
     if hub_count > 0 and len(src):
         max_h = max(int(hub_mem_budget // max(num_dst * 2, 1)), 0)
+        max_h = (max_h // 64) * 64  # see build_padded_adj: keep padding in-budget
         freq = np.bincount(src, minlength=num_src)
         h = min(hub_count, max_h, num_src)
         if h >= 64:

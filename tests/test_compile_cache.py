@@ -51,12 +51,17 @@ def test_compile_cache_persists_across_processes(tmp_path):
     _run(cache)
     entries = set(os.listdir(cache))
     assert entries, "first run wrote no cache entries"
-    mtimes = {e: os.path.getmtime(os.path.join(cache, e)) for e in entries}
+    sizes = {e: os.path.getsize(os.path.join(cache, e)) for e in entries}
     _run(cache)
-    # same program in a fresh process: every first-run entry is HIT (not
-    # rewritten), and the epoch program's entry must not be recompiled
-    after = {e: os.path.getmtime(os.path.join(cache, e)) for e in entries}
-    assert after == mtimes, "cache entries were rewritten (miss instead of hit)"
+    # same program in a fresh process: every first-run entry survives with its
+    # content intact, and no new compile-scale entry appears (a miss would
+    # re-serialize the epoch/eval executables as fresh large entries). Metadata
+    # touches by future JAX versions (mtime/LRU bookkeeping) are tolerated.
+    after = {e: os.path.getsize(os.path.join(cache, e)) for e in os.listdir(cache)}
+    for e, sz in sizes.items():
+        assert after.get(e) == sz, f"first-run cache entry {e} changed or vanished"
+    new_large = [e for e in after if e not in sizes and after[e] > 64 * 1024]
+    assert not new_large, f"second run recompiled (new large entries: {new_large})"
 
 
 def test_compile_cache_off_by_default(tmp_path):

@@ -2,11 +2,9 @@
 same dataset, same split, same hyperparameters — Recall@10 must match within
 run-to-run variance.
 
-The torch models here are clean-room reimplementations of the reference's math
-(MF: embedding tables + BPR softplus + ego-L2, /root/reference/model/MF.py:35-112;
-LightGCN: sym-normalized propagation + layer mean, /root/reference/model/MF.py:178-217)
-running the reference's training procedure (CPU rejection sampling, minibatch
-Adam steps)."""
+The torch oracles (clean-room reimplementations of the reference's math) live
+in tests/torch_oracle.py, shared with benchmarks/anchor20k.py's flagship-scale
+anchor run."""
 
 import numpy as np
 import pytest
@@ -15,80 +13,29 @@ torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402
 
+from torch_oracle import np_feats, run_mf_lgn, run_textsage  # noqa: E402
+
 from furusato_recommend_tpu.config import Config  # noqa: E402
 from furusato_recommend_tpu.data import synthetic_dataset  # noqa: E402
 from furusato_recommend_tpu.models.registry import build_model  # noqa: E402
-from furusato_recommend_tpu.preprocessing.native import bpr_sample_cpu  # noqa: E402
 from furusato_recommend_tpu.train.trainer import Trainer  # noqa: E402
 
 
 def _torch_recall(ds, model_name, epochs, dim, lr, seed=0):
-    torch.manual_seed(seed)
-    n, m = ds.n_users, ds.m_items
-    user_emb = torch.nn.Embedding(n, dim)
-    item_emb = torch.nn.Embedding(m, dim)
-    # match each model's init: MF uses torch Embedding's default N(0,1)
-    # (reference MF.py), LightGCN uses normal(std=0.1) (reference MF.py:131-135)
-    std = 1.0 if model_name == "mf" else 0.1
-    torch.nn.init.normal_(user_emb.weight, std=std)
-    torch.nn.init.normal_(item_emb.weight, std=std)
-    opt = torch.optim.Adam(list(user_emb.parameters()) + list(item_emb.parameters()), lr=lr)
+    return run_mf_lgn(
+        ds, model_name, epochs=epochs, dim=dim, lr=lr, seed=seed, decay=1e-7, bs=256
+    )["recall@10"]
 
-    g = ds.graph
-    indptr = np.asarray(g.user_pos.indptr, np.int64)
-    indices = np.asarray(g.user_pos.indices, np.int64)
 
-    if model_name == "lgn":
-        src = np.asarray(g.norm_edges.src)
-        dst = np.asarray(g.norm_edges.dst)
-        w = np.asarray(g.norm_edges.weight)
-        A = torch.sparse_coo_tensor(
-            torch.tensor(np.stack([dst, src])), torch.tensor(w), (n + m, n + m)
-        ).coalesce()
+def _np_feats(feats):
+    return np_feats(feats)
 
-    def embeddings():
-        if model_name == "mf":
-            return user_emb.weight, item_emb.weight
-        x = torch.cat([user_emb.weight, item_emb.weight], 0)
-        acc, h = x, x
-        for _ in range(2):
-            h = torch.sparse.mm(A, h)
-            acc = acc + h
-        out = acc / 3
-        return out[:n], out[n:]
 
-    bs = 256
-    for ep in range(epochs):
-        u, p, ng = bpr_sample_cpu(indptr, indices, n, m, ds.train_size, seed=seed * 1000 + ep)
-        for lo in range(0, len(u), bs):
-            uu = torch.tensor(u[lo : lo + bs])
-            pp = torch.tensor(p[lo : lo + bs])
-            nn_ = torch.tensor(ng[lo : lo + bs])
-            U, I = embeddings()
-            ue, pe, ne = U[uu], I[pp], I[nn_]
-            loss = torch.nn.functional.softplus(
-                (ue * ne).sum(1) - (ue * pe).sum(1)
-            ).mean()
-            u0, p0, n0 = user_emb(uu), item_emb(pp), item_emb(nn_)
-            reg = 0.5 * (u0.norm() ** 2 + p0.norm() ** 2 + n0.norm() ** 2) / len(uu)
-            loss = loss + 1e-7 * reg
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-
-    # eval: full scores, mask train positives, recall@10
-    with torch.no_grad():
-        U, I = embeddings()
-        scores = (U @ I.T).numpy()
-    ap, td = ds.all_pos(), ds.test_dict()
-    recall = 0.0
-    users = sorted(td.keys())
-    for uu in users:
-        s = scores[uu].copy()
-        s[ap[uu]] = -np.inf
-        top = np.argpartition(-s, 10)[:10]
-        recall += len(set(top.tolist()) & set(td[uu].tolist())) / len(td[uu])
-    return recall / len(users)
+def _torch_textsage_recall(ds, feats_u, feats_i, vocab, epochs, dim, lr, seed=0):
+    return run_textsage(
+        ds, feats_u, feats_i, vocab, epochs=epochs, dim=dim, lr=lr, seed=seed,
+        decay=1e-6, bs=128, F=3, L=2,
+    )["recall@10"]
 
 
 def _tpu_recall(ds, model_name, epochs, dim, lr, seed=0):
@@ -121,154 +68,8 @@ def test_quality_parity(model_name):
 
 # ---------------------------------------------------------------------------
 # Flagship parity: clean-room torch TextSAGE (structure of the reference DDP
-# flagship, /root/reference/ddp.py:355-560: n/w/t feature projections, mean-
-# aggregation conv W[cat(self, aggr)], BPR + whole-param L2, fanout-tree train
-# + full-graph mean inference).
+# flagship, /root/reference/ddp.py:355-560) — implementation in torch_oracle.py.
 # ---------------------------------------------------------------------------
-
-
-def _np_feats(feats):
-    import numpy as _np
-
-    return {
-        "numeric": _np.asarray(feats.numeric, _np.float32),
-        "w2v": _np.asarray(feats.word2vec, _np.float32),
-        "text": _np.asarray(feats.text),  # [N, 3, W] -1-padded word ids
-    }
-
-
-class _TorchTextSAGE(torch.nn.Module):
-    def __init__(self, uf, itf, dim, vocab, seed):
-        super().__init__()
-        torch.manual_seed(seed)
-        self.dim, self.wd = dim, dim // 2
-        self.word_emb = torch.nn.Embedding(vocab, self.wd)
-        torch.nn.init.xavier_uniform_(self.word_emb.weight)
-        in_u = dim + 3 * self.wd + uf["w2v"].shape[1]
-        in_i = dim + 3 * self.wd + itf["w2v"].shape[1]
-        self.un = torch.nn.Linear(uf["numeric"].shape[1], dim)
-        self.itn = torch.nn.Linear(itf["numeric"].shape[1], dim)
-        self.uproj = torch.nn.Linear(in_u, dim)
-        self.iproj = torch.nn.Linear(in_i, dim)
-        self.ws = torch.nn.ModuleList(
-            [torch.nn.Linear(2 * dim, dim) for _ in range(2)]
-        )
-        gain = torch.nn.init.calculate_gain("relu")
-        for lin in [self.un, self.itn, self.uproj, self.iproj]:
-            torch.nn.init.xavier_uniform_(lin.weight)
-            torch.nn.init.zeros_(lin.bias)
-        for i, w in enumerate(self.ws):
-            torch.nn.init.xavier_uniform_(w.weight, gain=1.0 if i == 1 else gain)
-            torch.nn.init.zeros_(w.bias)
-        self.uf, self.itf = uf, itf
-
-    def _text(self, feats, ids):
-        t = torch.from_numpy(feats["text"][ids])  # [B, 3, W]
-        mask = (t >= 0).float().unsqueeze(-1)
-        emb = self.word_emb(t.clamp(min=0).long()) * mask
-        bags = emb.sum(-2) / mask.sum(-2).clamp(min=1.0)  # [B, 3, wd]
-        return bags.reshape(len(ids), -1)
-
-    def initial(self, side, ids):
-        f = self.uf if side == "user" else self.itf
-        lin = self.un if side == "user" else self.itn
-        proj = self.uproj if side == "user" else self.iproj
-        parts = [
-            lin(torch.from_numpy(f["numeric"][ids])),
-            self._text(f, ids),
-            torch.from_numpy(f["w2v"][ids]),
-        ]
-        return proj(torch.cat(parts, dim=1))
-
-
-def _torch_textsage_recall(ds, feats_u, feats_i, vocab, epochs, dim, lr, seed=0):
-    rng = np.random.default_rng(seed)
-    model = _TorchTextSAGE(feats_u, feats_i, dim, vocab, seed)
-    opt = torch.optim.Adam(model.parameters(), lr=lr)
-    g = ds.graph
-    up_ptr = np.asarray(g.user_pos.indptr, np.int64)
-    up_idx = np.asarray(g.user_pos.indices, np.int64)
-    ip_ptr = np.asarray(g.item_pos.indptr, np.int64)
-    ip_idx = np.asarray(g.item_pos.indices, np.int64)
-    n, m = ds.n_users, ds.m_items
-    F, L, bs = 3, 2, 128
-
-    def fanout(ptr, idx, nodes):
-        deg = ptr[nodes + 1] - ptr[nodes]
-        r = rng.integers(0, 1 << 30, (len(nodes), F)) % np.maximum(deg, 1)[:, None]
-        out = idx[np.clip(ptr[nodes][:, None] + r, 0, len(idx) - 1)]
-        return out, deg > 0
-
-    def encode(seeds, side):
-        sides = [side]
-        for _ in range(L):
-            sides.append("item" if sides[-1] == "user" else "user")
-        levels, valids = [seeds], [None]
-        for l in range(L):
-            ptr, idx = (up_ptr, up_idx) if sides[l] == "user" else (ip_ptr, ip_idx)
-            flat = levels[-1].reshape(-1)
-            nbr, has = fanout(ptr, idx, flat)
-            levels.append(nbr.reshape(levels[-1].shape + (F,)))
-            valids.append(has.reshape(levels[-2].shape))
-        xs = [model.initial(sides[i], lvl.reshape(-1)).reshape(lvl.shape + (-1,))
-              for i, lvl in enumerate(levels)]
-        for i in range(L):
-            new_xs = []
-            for lvl in range(L - i):
-                aggr = xs[lvl + 1].mean(dim=-2)
-                aggr = aggr * torch.from_numpy(valids[lvl + 1]).float().reshape(
-                    aggr.shape[:-1] + (1,)
-                )
-                h = model.ws[i](torch.cat([xs[lvl], aggr], dim=-1))
-                if i != L - 1:
-                    h = h.relu()
-                new_xs.append(h)
-            xs = new_xs
-        return xs[0]
-
-    for ep in range(epochs):
-        from furusato_recommend_tpu.preprocessing.native import bpr_sample_cpu
-
-        u, p, ng = bpr_sample_cpu(up_ptr, up_idx, n, m, ds.train_size, seed=seed * 997 + ep)
-        for lo in range(0, len(u), bs):
-            ue = encode(u[lo : lo + bs], "user")
-            pe = encode(p[lo : lo + bs], "item")
-            ne = encode(ng[lo : lo + bs], "item")
-            loss = torch.nn.functional.softplus((ue * ne).sum(1) - (ue * pe).sum(1)).mean()
-            reg = sum(0.5 * (q**2).sum() for q in model.parameters()) / len(ue)
-            loss = loss + 1e-6 * reg
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-
-    # full-graph mean inference (reference getUsersRating shape, ddp.py:628-671)
-    with torch.no_grad():
-        ux = model.initial("user", np.arange(n))
-        ix = model.initial("item", np.arange(m))
-        for i in range(L):
-            deg_u = np.maximum(up_ptr[1:] - up_ptr[:-1], 1)
-            deg_i = np.maximum(ip_ptr[1:] - ip_ptr[:-1], 1)
-            ua = torch.zeros_like(ux).index_add_(0, torch.from_numpy(
-                np.repeat(np.arange(n), up_ptr[1:] - up_ptr[:-1])), ix[up_idx]
-            ) / torch.from_numpy(deg_u).float().unsqueeze(1)
-            ia = torch.zeros_like(ix).index_add_(0, torch.from_numpy(
-                np.repeat(np.arange(m), ip_ptr[1:] - ip_ptr[:-1])), ux[ip_idx]
-            ) / torch.from_numpy(deg_i).float().unsqueeze(1)
-            nu = model.ws[i](torch.cat([ux, ua], dim=1))
-            ni = model.ws[i](torch.cat([ix, ia], dim=1))
-            if i != L - 1:
-                nu, ni = nu.relu(), ni.relu()
-            ux, ix = nu, ni
-        scores = (ux @ ix.T).numpy()
-    ap, td = ds.all_pos(), ds.test_dict()
-    recall = 0.0
-    users = sorted(td.keys())
-    for uu in users:
-        s = scores[uu].copy()
-        s[ap[uu]] = -np.inf
-        top = np.argpartition(-s, 10)[:10]
-        recall += len(set(top.tolist()) & set(td[uu].tolist())) / len(td[uu])
-    return recall / len(users)
 
 
 def test_quality_parity_textsage():
