@@ -96,16 +96,17 @@ def main():
         f.write(json.dumps(row) + "\n")
         f.flush()
 
+    cache = "/tmp/anchor20k_xla_cache" if args.side == "tpu" else ""
     if args.model == "textsage":
         cfg = ddp_flagship_config().replace(
             eval_user_batch=2048, topks=(10, 20), seed=args.seed,
-            epochs=args.epochs, test_span=args.eval_every,
+            epochs=args.epochs, test_span=args.eval_every, compile_cache=cache,
         )
     else:
         cfg = Config(
             model="lgn", latent_dim=32, bpr_batch_size=2048, lr=0.01,
             decay=1e-7, eval_user_batch=2048, topks=(10, 20), seed=args.seed,
-            epochs=args.epochs, test_span=args.eval_every,
+            epochs=args.epochs, test_span=args.eval_every, compile_cache=cache,
         )
 
     # samples/epoch exactly as the Trainer computes it (trainer.py: ceil to
@@ -155,12 +156,13 @@ def main():
         from furusato_recommend_tpu.models.registry import build_model
         from furusato_recommend_tpu.train.trainer import Trainer
 
-        feats = None
         if args.model == "textsage":
             from furusato_recommend_tpu.data.features import synthetic_features
 
             feats = synthetic_features(ds, cfg, seed=0)
-        model = build_model(args.model, cfg, ds.graph, features=feats)
+            model = build_model(args.model, cfg, ds.graph, features=feats)
+        else:
+            model = build_model(args.model, cfg, ds.graph)
         tr = Trainer(cfg, ds, model, ddp_recipe=(args.model == "textsage"))
         assert tr.samples_per_epoch == spe, (tr.samples_per_epoch, spe)
         params, opt_state = tr.init_state(seed=args.seed)

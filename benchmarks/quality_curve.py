@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--relin_every", type=int, default=1,
                     help="initial-table re-linearization cadence (0 = the "
                          "round-2 epoch-start linearization, measured unstable)")
+    ap.add_argument("--compile_cache", type=str, default="",
+                    help="persistent XLA cache dir (seed sweeps share compiles)")
     args = ap.parse_args()
 
     cfg = ddp_flagship_config().replace(
@@ -90,6 +92,7 @@ def main():
         feature_update_every=args.feature_update_every,
         relin_every=args.relin_every,
         test_span=args.test_span, epochs=args.epochs,
+        compile_cache=args.compile_cache,
     )
     ds = load_dataset()
 

@@ -66,6 +66,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="T>1: feature-VJP + feature-param adam once per T steps (opt-in trajectory deviation)")
     p.add_argument("--compile_cache", type=str, default="",
                    help="persistent XLA compilation-cache dir (restarts skip the ~4-min epoch compile)")
+    p.add_argument("--pipeline_dispatch", action="store_true",
+                   help="prefetch next epoch's sampling program before the loss sync (same results)")
     return p
 
 
@@ -115,6 +117,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         compute_auc=args.auc,
         feature_update_every=args.feature_update_every,
         compile_cache=args.compile_cache,
+        pipeline_dispatch=args.pipeline_dispatch,
     )
 
 

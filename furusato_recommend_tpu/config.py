@@ -151,6 +151,13 @@ class Config:
     #: "feature-linearization staleness"). When feature_update_every > 1 the
     #: super-step boundary is the re-linearization point (cadence = T).
     relin_every: int = 1
+    #: Pipeline epoch dispatches: after dispatching epoch e's train scan,
+    #: enqueue epoch e+1's sampling program BEFORE fetching e's loss, so the
+    #: device queue never drains between epochs (the host sync + RPC gap over
+    #: the tunnel otherwise leaves the chip idle between programs). Identical
+    #: key stream and results to the unpipelined path (tests/test_trainer.py);
+    #: opt-in pending the measured win (benchmarks/pipeline_probe.py, PERF.md).
+    pipeline_dispatch: bool = False
     #: Persistent XLA compilation-cache directory ("" = off). The flagship
     #: epoch program costs ~4 min of XLA compile per process start (PERF.md);
     #: with a cache dir, restarts (preemption recovery, serving hot-reload,

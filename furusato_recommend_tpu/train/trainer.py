@@ -224,6 +224,11 @@ class Trainer:
 
         self._train_epoch = self._build_train_epoch()
         self._sample_epoch = self._build_sample_epoch()
+        # --pipeline_dispatch: one-epoch sample prefetch (see train_one_epoch).
+        # The OOC path refreshes host-side bound data per epoch; keep it on the
+        # simple synchronous ordering.
+        self.pipeline = bool(config.pipeline_dispatch) and not self.ooc
+        self._prefetch = None  # (key_state_before_draw, key, queued batches)
 
         max_deg = int(np.max(np.bincount(dataset.train_user, minlength=dataset.n_users)))
         self.evaluator = Evaluator(
@@ -520,13 +525,18 @@ class Trainer:
             params = shard_params(params, self.mesh)
         opt_state = self._init_opt(params)
         self.step = 0
+        self._prefetch = None
         return params, opt_state
 
     def train_one_epoch(self, params, opt_state):
-        self._key, k = jax.random.split(self._key)
         if self.ooc:
             self._refresh_bound(params)
-        batches = self._sample_epoch(k, self.graph, (self.edge_alias, self.neg_alias))
+        if self._prefetch is not None:
+            _, k, batches = self._prefetch
+            self._prefetch = None
+        else:
+            self._key, k = jax.random.split(self._key)
+            batches = self._sample_epoch(k, self.graph, (self.edge_alias, self.neg_alias))
         out = self._train_epoch(
             params,
             opt_state,
@@ -535,6 +545,19 @@ class Trainer:
             batches,
             self._bound,
         )
+        if self.pipeline:
+            # enqueue the NEXT epoch's sampling behind the scan we just
+            # dispatched, BEFORE the float(loss) host sync below: the device
+            # queue never drains between epochs. Same key chain, same order —
+            # save() persists the pre-draw chain state so resume replays the
+            # identical stream (the prefetched draw is "unconsumed" on disk).
+            key_state = self._key
+            self._key, k2 = jax.random.split(self._key)
+            self._prefetch = (
+                key_state,
+                k2,
+                self._sample_epoch(k2, self.graph, (self.edge_alias, self.neg_alias)),
+            )
         if self.ooc:
             params, opt_state, loss, g_acc = out
             params = self._apply_ooc_update(params, g_acc)
@@ -621,11 +644,22 @@ class Trainer:
         return params, opt_state
 
     def save(self, params, opt_state, path=None):
+        # single-writer guard: in a multi-process world only the primary host
+        # writes (the reference's rank-0-only gating, /root/reference/ddp.py:814);
+        # params/opt_state are replicated or addressable-shard-complete per host
+        from ..core.distributed import is_primary_host
+
+        if not is_primary_host():
+            return
+        # with an outstanding sample prefetch, persist the chain state from
+        # BEFORE its key draw: the resumed run re-draws it and replays the
+        # identical stream
+        key = self._prefetch[0] if self._prefetch is not None else self._key
         state = {
             "params": params,
             "opt_state": opt_state,
             "step": jnp.asarray(self.step),
-            "key": self._key,
+            "key": key,
             "max_recall": jnp.asarray(self.max_recall),
         }
         save_checkpoint(
@@ -654,4 +688,5 @@ class Trainer:
         self.step = int(state["step"])
         self._key = jnp.asarray(state["key"])
         self.max_recall = float(state["max_recall"])
+        self._prefetch = None  # the checkpoint's key chain re-draws it
         return params, opt_state

@@ -216,6 +216,47 @@ def test_trainer_resume(tmp_path, tiny_dataset, backend):
     np.testing.assert_allclose(np.asarray(p2["user_emb"]), uninterrupted, rtol=1e-5, atol=1e-6)
 
 
+def test_pipeline_dispatch_equals_sync(tiny_dataset):
+    """--pipeline_dispatch (next-epoch sample prefetch before the loss sync)
+    must be results-identical to the synchronous path: same key chain, same
+    losses, same params — including across a save/restore boundary taken while
+    a prefetch is outstanding (the checkpoint persists the pre-draw chain
+    state)."""
+
+    def make(pipeline):
+        cfg = Config(model="mf", latent_dim=16, bpr_batch_size=256, lr=0.05,
+                     eval_user_batch=64, topks=(5,), pipeline_dispatch=pipeline)
+        model = build_model("mf", cfg, tiny_dataset.graph)
+        return Trainer(cfg, tiny_dataset, model)
+
+    tr_s, tr_p = make(False), make(True)
+    ps, os_ = tr_s.init_state()
+    pp, op = tr_p.init_state()
+    for _ in range(3):
+        ps, os_, ls = tr_s.train_one_epoch(ps, os_)
+        pp, op, lp = tr_p.train_one_epoch(pp, op)
+        assert abs(ls - lp) < 1e-6, (ls, lp)
+    np.testing.assert_allclose(
+        np.asarray(pp["user_emb"]), np.asarray(ps["user_emb"]), rtol=1e-6
+    )
+
+    # resume with an outstanding prefetch replays the identical stream
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = td + "/mid.ckpt"
+        assert tr_p._prefetch is not None  # a prefetch IS outstanding
+        tr_p.save(pp, op, path=ckpt)
+        tr3 = make(True)
+        p3, o3 = tr3.restore(ckpt)
+        for _ in range(2):
+            ps, os_, _ = tr_s.train_one_epoch(ps, os_)
+            p3, o3, _ = tr3.train_one_epoch(p3, o3)
+        np.testing.assert_allclose(
+            np.asarray(p3["user_emb"]), np.asarray(ps["user_emb"]), rtol=1e-6
+        )
+
+
 def test_infonce_loss_mode(tiny_dataset):
     """In-batch sampled-softmax objective trains and improves recall."""
     r0, r1, _, _ = _train("mf", tiny_dataset, epochs=20, loss_fn="infonce")

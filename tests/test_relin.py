@@ -80,11 +80,87 @@ def test_relin_rounding_and_validation():
 
 
 def test_relin_with_feature_update_every():
-    """fue super-steps re-linearize at their boundary; the combination runs
-    and produces finite losses/params."""
+    """fue=2 super-step semantics vs a HAND-STEPPED oracle (round-4 verdict #7
+    — a wrong super-step boundary re-linearization must fail, not just be
+    finite). The oracle replays the documented contract step by step in eager
+    mode: per super-step, linearize the all-entity tables once at the top;
+    inner steps adam-update only the non-feature params (accumulating the
+    table cotangent and the direct grads); at the boundary run the feature-VJP
+    on the step-MEAN cotangent + the mean direct feature grads through the
+    feature params' own adam."""
+    import optax
+
     ds, cfg, feats = _fixture()
-    p, loss = _run_epochs(
-        ds, cfg.replace(relin_every=1, feature_update_every=2), feats
-    )
-    assert np.isfinite(loss)
-    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree_util.tree_leaves(p))
+    T = 2
+    cfgT = cfg.replace(relin_every=1, feature_update_every=T)
+
+    # real path: one epoch through the compiled program
+    model = build_model("textsage", cfgT, ds.graph, features=feats)
+    tr = Trainer(cfgT, ds, model)
+    params0, opt0 = tr.init_state()
+    p_real, _, loss_real = tr.train_one_epoch(params0, opt0)
+
+    # oracle: identical key stream, identical batches, hand-stepped
+    model2 = build_model("textsage", cfgT, ds.graph, features=feats)
+    tr2 = Trainer(cfgT, ds, model2)
+    params, _ = tr2.init_state()
+    params = dict(params)
+    tr2._key, k = jax.random.split(tr2._key)
+    batches = tr2._sample_epoch(k, tr2.graph, (tr2.edge_alias, tr2.neg_alias))
+    _, k_steps = jax.random.split(k)
+    step_keys = jax.random.split(k_steps, tr2.num_batches)
+    assert tr2.num_batches % T == 0
+
+    feat_keys = model2.initial_param_keys()
+
+    def split_p(p):
+        return (
+            {k_: v for k_, v in p.items() if k_ not in feat_keys},
+            {k_: v for k_, v in p.items() if k_ in feat_keys},
+        )
+
+    opt_d, opt_f = optax.adam(cfgT.lr), optax.adam(cfgT.lr)
+    d0, f0 = split_p(params)
+    od, of = opt_d.init(d0), opt_f.init(f0)
+    graph = tr2.graph
+    losses = []
+    with model2.bind(tr2._bound):
+        for s in range(tr2.num_batches // T):
+            tables0, tables_vjp = jax.vjp(model2.initial_tables, params)
+            acc_t = jax.tree_util.tree_map(np.zeros_like, tables0)
+            acc_p = jax.tree_util.tree_map(np.zeros_like, params)
+            for t in range(T):
+                i = s * T + t
+                batch = jax.tree_util.tree_map(lambda x: x[i], batches)
+                (loss, _aux), (g_p, g_t) = jax.value_and_grad(
+                    lambda p, tb: model2.loss(p, graph, batch, step_keys[i], tables=tb),
+                    argnums=(0, 1),
+                    has_aux=True,
+                )(params, tables0)
+                losses.append(float(loss))
+                acc_t = jax.tree_util.tree_map(lambda a, b: a + b, acc_t, g_t)
+                acc_p = jax.tree_util.tree_map(lambda a, b: a + b, acc_p, g_p)
+                dp, fp = split_p(params)
+                gd = {k_: g_p[k_] for k_ in dp}
+                upd, od = opt_d.update(gd, od, dp)
+                dp = optax.apply_updates(dp, upd)
+                params = {**dp, **fp}
+            (g_feat,) = tables_vjp(jax.tree_util.tree_map(lambda x: x / T, acc_t))
+            dp, fp = split_p(params)
+            gf = {
+                k_: jax.tree_util.tree_map(
+                    lambda a, b: a + b / T, g_feat[k_], acc_p[k_]
+                )
+                for k_ in fp
+            }
+            upd, of = opt_f.update(gf, of, fp)
+            fp = optax.apply_updates(fp, upd)
+            params = {**dp, **fp}
+
+    assert abs(float(np.mean(losses)) - loss_real) < 1e-4, (np.mean(losses), loss_real)
+    leaves_r, treedef = jax.tree_util.tree_flatten(dict(p_real))
+    leaves_o = treedef.flatten_up_to(params)
+    for a, b in zip(leaves_r, leaves_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5, err_msg=str(treedef)
+        )

@@ -298,6 +298,141 @@ def run_textsage(
     return metrics
 
 
+class TorchSASRec(torch.nn.Module):
+    """Clean-room SASRec (`/root/reference/model/sasrec.py:55-500`): item
+    representations from the n/w/t feature encoder, pre-norm causal MHA blocks
+    with residual+relu and single-linear FFN (oneblock, :385-397), user repr =
+    mean over valid positions (:399-413), item tower (L-1) relu linears + proj
+    (:415-421), L2 over 'emb'-named params only (:428-432)."""
+
+    def __init__(self, itf, dim, vocab, n_layers, seed, dropout=0.2):
+        super().__init__()
+        torch.manual_seed(seed)
+        self.dim, self.wd, self.L, self.p = dim, dim // 2, n_layers, dropout
+        self.word_emb = torch.nn.Embedding(vocab, self.wd)
+        torch.nn.init.xavier_uniform_(self.word_emb.weight)
+        self.itn = torch.nn.Linear(itf["numeric"].shape[1], dim)
+        self.iproj = torch.nn.Linear(dim + 3 * self.wd + itf["w2v"].shape[1], dim)
+        for lin in (self.itn, self.iproj):
+            torch.nn.init.xavier_uniform_(lin.weight)
+            torch.nn.init.zeros_(lin.bias)
+        self.attn_norms = torch.nn.ModuleList(
+            [torch.nn.LayerNorm(dim) for _ in range(n_layers)]
+        )
+        self.attns = torch.nn.ModuleList(
+            [torch.nn.MultiheadAttention(dim, 8, batch_first=True) for _ in range(n_layers)]
+        )
+        self.ffn_norms = torch.nn.ModuleList(
+            [torch.nn.LayerNorm(dim) for _ in range(n_layers)]
+        )
+        self.ffns = torch.nn.ModuleList(
+            [torch.nn.Linear(dim, dim) for _ in range(n_layers)]
+        )
+        self.item_tower = torch.nn.ModuleList(
+            [torch.nn.Linear(dim, dim) for _ in range(max(n_layers - 1, 0))]
+        )
+        self.item_last = torch.nn.Linear(dim, dim)
+        self.itf = itf
+
+    def initial_item(self, ids):
+        t = torch.from_numpy(self.itf["text"][ids])
+        mask = (t >= 0).float().unsqueeze(-1)
+        emb = self.word_emb(t.clamp(min=0).long()) * mask
+        bags = emb.sum(-2) / mask.sum(-2).clamp(min=1.0)
+        parts = [
+            self.itn(torch.from_numpy(self.itf["numeric"][ids])),
+            bags.reshape(len(ids), -1),
+            torch.from_numpy(self.itf["w2v"][ids]),
+        ]
+        return self.iproj(torch.cat(parts, dim=1))
+
+    def forward_user(self, item_initial, seq, lengths):
+        B, T = seq.shape
+        x = item_initial[torch.from_numpy(seq).long()]  # [B, T, d]
+        valid = torch.arange(T)[None, :] < torch.from_numpy(lengths)[:, None]
+        x = x * valid[..., None].float()
+        attn_mask = torch.triu(torch.full((T, T), float("-inf")), diagonal=1)
+        for i in range(self.L):
+            init_x = x
+            h = self.attn_norms[i](x)
+            a, _ = self.attns[i](h, h, h, attn_mask=attn_mask, need_weights=False)
+            a = torch.nn.functional.dropout(a, self.p, self.training)
+            x = (init_x + a).relu()
+            init_x = x
+            h = self.ffns[i](self.ffn_norms[i](x))
+            x = init_x + torch.nn.functional.dropout(h, self.p, self.training)
+        m = valid[..., None].float()
+        return (x * m).sum(1) / m.sum(1).clamp(min=1.0)
+
+    def forward_item(self, x):
+        for lin in self.item_tower:
+            x = lin(x).relu()
+        return self.item_last(x)
+
+
+def run_sasrec(
+    ds,
+    fi,
+    vocab,
+    seq_items,
+    seq_lengths,
+    *,
+    epochs,
+    dim,
+    lr,
+    seed=0,
+    decay=1e-6,
+    bs=128,
+    L=2,
+    ks=(10,),
+):
+    """Train the clean-room torch SASRec; returns final eval metrics."""
+    from furusato_recommend_tpu.preprocessing.native import bpr_sample_cpu
+
+    model = TorchSASRec(fi, dim, vocab, L, seed)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    g = ds.graph
+    up_ptr = np.asarray(g.user_pos.indptr, np.int64)
+    up_idx = np.asarray(g.user_pos.indices, np.int64)
+    n, m = ds.n_users, ds.m_items
+    model.train()
+    for ep in range(epochs):
+        u, p, ng = bpr_sample_cpu(up_ptr, up_idx, n, m, ds.train_size, seed=seed * 991 + ep)
+        for lo in range(0, len(u), bs):
+            uu, pp, nn_ = u[lo : lo + bs], p[lo : lo + bs], ng[lo : lo + bs]
+            item_initial = model.initial_item(np.arange(m))
+            ue = model.forward_user(item_initial, seq_items[uu], seq_lengths[uu])
+            pe = model.forward_item(item_initial[torch.from_numpy(pp).long()])
+            ne = model.forward_item(item_initial[torch.from_numpy(nn_).long()])
+            loss = torch.nn.functional.softplus(
+                (ue * ne).sum(1) - (ue * pe).sum(1)
+            ).mean()
+            reg = sum(
+                0.5 * (v**2).sum()
+                for k_, v in model.named_parameters()
+                if "emb" in k_
+            ) / len(uu)
+            loss = loss + decay * reg
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+    model.eval()
+    with torch.no_grad():
+        item_initial = model.initial_item(np.arange(m))
+        ix = model.forward_item(item_initial).numpy()
+        ux = np.zeros((n, dim), np.float32)
+        for lo in range(0, n, 512):
+            hi = min(lo + 512, n)
+            ux[lo:hi] = model.forward_user(
+                item_initial, seq_items[lo:hi], seq_lengths[lo:hi]
+            ).numpy()
+
+    def score(uu):
+        return ux[uu] @ ix.T
+
+    return eval_full(score, ds, ks=ks)
+
+
 def run_mf_lgn(
     ds,
     model_name,
