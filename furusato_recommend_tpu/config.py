@@ -155,9 +155,13 @@ class Config:
     #: enqueue epoch e+1's sampling program BEFORE fetching e's loss, so the
     #: device queue never drains between epochs (the host sync + RPC gap over
     #: the tunnel otherwise leaves the chip idle between programs). Identical
-    #: key stream and results to the unpipelined path (tests/test_trainer.py);
-    #: opt-in pending the measured win (benchmarks/pipeline_probe.py, PERF.md).
-    pipeline_dispatch: bool = False
+    #: key stream and results to the unpipelined path
+    #: (tests/test_models_e2e.py::test_pipeline_dispatch_equals_sync, incl.
+    #: save/restore with an outstanding prefetch). Measured +0.36% at the
+    #: flagship shape (7.971 -> 7.942 s/epoch, benchmarks/pipeline_probe.py) —
+    #: small but free, so default ON; --no-pipeline_dispatch restores the
+    #: synchronous order.
+    pipeline_dispatch: bool = True
     #: Persistent XLA compilation-cache directory ("" = off). The flagship
     #: epoch program costs ~4 min of XLA compile per process start (PERF.md);
     #: with a cache dir, restarts (preemption recovery, serving hot-reload,

@@ -305,6 +305,103 @@ def test_relational_full_graph_matches_torch(oracle_graph, oracle_xs, mode, side
 
 
 # ---------------------------------------------------------------------------
+# Remaining conv full-graph paths: gat (additive attention), pinsage
+# (relu-transformed mean + L2-normed head handled by the model), ggnn (GRU),
+# gcn (self+neighbor mix) — completing oracle coverage of the conv menu
+# (`/root/reference/model/gnn.py:185-232`, pinsage.py:342-365).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("side", ["user", "item"])
+def test_gat_full_graph_matches_torch(oracle_graph, oracle_xs, side):
+    conv = get_conv("gat")
+    lp = conv.init(jax.random.PRNGKey(19), D, 1.0)
+    lpn = _np(lp)
+    xu, xi = oracle_xs
+    x_self, other = (xu, xi) if side == "user" else (xi, xu)
+    aggr = _mean_aggr(oracle_graph, side, other)
+    ctx = {"graph": oracle_graph, "edge_time": None, "edge_label": None, "rel_emb": None}
+    ours = np.asarray(
+        conv.full_graph(lp, jnp.asarray(x_self), jnp.asarray(aggr), jnp.asarray(other), side, ctx)
+    )
+    csr = oracle_graph.prop_user_pos if side == "user" else oracle_graph.prop_item_pos
+    ptr, idx = _csr_np(csr)
+    w, a_s, a_d = (torch.from_numpy(lpn[k]) for k in ("w", "a_src", "a_dst"))
+    want = np.zeros_like(ours)
+    for v in range(len(ptr) - 1):
+        nb = idx[ptr[v] : ptr[v + 1]]
+        sp = torch.from_numpy(x_self[v]) @ w
+        if len(nb):
+            npj = torch.from_numpy(other[nb]) @ w  # [F, D]
+            e = torch.nn.functional.leaky_relu(
+                (npj @ a_s)[:, 0] + (sp @ a_d)[0], 0.2
+            )
+            alpha = torch.softmax(e, dim=0)
+            out = (alpha[:, None] * npj).sum(0)
+        else:
+            out = torch.zeros(D)
+        want[v] = (out + sp + torch.from_numpy(lpn["b"])).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("side", ["user", "item"])
+def test_pinsage_full_graph_matches_torch(oracle_graph, oracle_xs, side):
+    conv = get_conv("pinsage")
+    lp = conv.init(jax.random.PRNGKey(23), D, 1.0)
+    lpn = _np(lp)
+    xu, xi = oracle_xs
+    x_self, other = (xu, xi) if side == "user" else (xi, xu)
+    aggr = _mean_aggr(oracle_graph, side, other)
+    ctx = {"graph": oracle_graph, "edge_time": None, "edge_label": None, "rel_emb": None}
+    ours = np.asarray(
+        conv.full_graph(lp, jnp.asarray(x_self), jnp.asarray(aggr), jnp.asarray(other), side, ctx)
+    )
+    csr = oracle_graph.prop_user_pos if side == "user" else oracle_graph.prop_item_pos
+    ptr, idx = _csr_np(csr)
+    want = np.zeros_like(ours)
+    for v in range(len(ptr) - 1):
+        nb = idx[ptr[v] : ptr[v + 1]]
+        if len(nb):
+            q = (torch.from_numpy(other[nb]) @ torch.from_numpy(lpn["q_w"])
+                 + torch.from_numpy(lpn["q_b"])).relu()
+            m = q.mean(0)
+        else:
+            m = torch.zeros(D)
+        row = torch.cat([torch.from_numpy(x_self[v]), m])
+        want[v] = (row @ torch.from_numpy(lpn["w"]) + torch.from_numpy(lpn["b"])).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-5)
+
+
+def test_ggnn_and_gcn_full_graph_match_torch(oracle_graph, oracle_xs):
+    xu, xi = oracle_xs
+    aggr = _mean_aggr(oracle_graph, "user", xi)
+    ctx = {"graph": oracle_graph, "edge_time": None, "edge_label": None, "rel_emb": None}
+    # ggnn: GRU-gated update of the target by the aggregated message
+    conv = get_conv("ggnn")
+    lp = conv.init(jax.random.PRNGKey(29), D, 1.0)
+    lpn = _np(lp)
+    ours = np.asarray(
+        conv.full_graph(lp, jnp.asarray(xu), jnp.asarray(aggr), jnp.asarray(xi), "user", ctx)
+    )
+    x, m = torch.from_numpy(xu), torch.from_numpy(aggr)
+    t = lambda k: torch.from_numpy(lpn[k])  # noqa: E731
+    z = torch.sigmoid(m @ t("wz") + x @ t("uz"))
+    r = torch.sigmoid(m @ t("wr") + x @ t("ur"))
+    h = torch.tanh(m @ t("wh") + (r * x) @ t("uh"))
+    want = ((1 - z) * x + z * h).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-5)
+    # gcn full-graph: 0.5 (aggr + self) @ w + b
+    conv = get_conv("gcn")
+    lp = conv.init(jax.random.PRNGKey(31), D, 1.0)
+    lpn = _np(lp)
+    ours = np.asarray(
+        conv.full_graph(lp, jnp.asarray(xu), jnp.asarray(aggr), jnp.asarray(xi), "user", ctx)
+    )
+    want = (0.5 * (m + x) @ torch.from_numpy(lpn["w"]) + torch.from_numpy(lpn["b"])).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
 # SASRec pre-norm causal block vs torch's built-in MHA
 # ---------------------------------------------------------------------------
 
