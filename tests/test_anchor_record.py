@@ -21,12 +21,16 @@ RES = os.path.join(os.path.dirname(__file__), "..", "benchmarks", "results")
 
 
 def _finals(pattern, metric="recall@10"):
+    """Mean of the LAST THREE evals per completed run — single-eval plateau
+    wobble is the dominant noise (sigma ~0.002-0.004 at this shape), so the
+    3-eval mean is the robust per-run statistic."""
     vals = []
     for f in sorted(glob.glob(os.path.join(RES, pattern))):
         rows = [json.loads(line) for line in open(f)]
-        evals = [r for r in rows if r.get("epoch")]
-        if evals and evals[-1].get("epoch", 0) >= 30:  # completed runs only
-            vals.append(evals[-1][metric])
+        evals = [r[metric] for r in rows if r.get("epoch")]
+        last = [r for r in rows if r.get("epoch")]
+        if last and last[-1]["epoch"] >= 30:  # completed runs only
+            vals.append(float(np.mean(evals[-3:])))
     return vals
 
 
@@ -50,7 +54,21 @@ def test_anchor20k_lgn_record_agrees():
     if not (tpu and oracle):
         pytest.skip("anchor record incomplete (runs in progress)")
     gap = abs(float(np.mean(tpu)) - float(np.mean(oracle)))
-    assert gap <= 0.012, (tpu, oracle)
+    assert gap <= 0.008, (tpu, oracle)
     # lgn beats the popularity baseline (0.0444 on this dataset) ~2x — the
     # collaborative signal is real on both sides
     assert min(tpu) > 0.08 and min(oracle) > 0.08, (tpu, oracle)
+
+
+def test_anchor20k_model_ordering_consistent():
+    """The cross-model ordering (lgn >> featureless-feature textsage on this
+    latent-structure dataset) reproduces on BOTH frameworks — algorithm-level
+    differences dwarf the framework gap, which is the anchor's point."""
+    ts_tpu = _finals("anchor20k_textsage_tpu_s*.jsonl")
+    ts_torch = _finals("anchor20k_textsage_torch_s*.jsonl")
+    lgn_tpu = _finals("anchor20k_lgn_tpu_s*.jsonl")
+    lgn_torch = _finals("anchor20k_lgn_torch_s*.jsonl")
+    if not (ts_tpu and ts_torch and lgn_tpu and lgn_torch):
+        pytest.skip("anchor record incomplete (runs in progress)")
+    assert np.mean(lgn_tpu) > 2 * np.mean(ts_tpu)
+    assert np.mean(lgn_torch) > 2 * np.mean(ts_torch)
