@@ -53,6 +53,8 @@ def rpc_baseline():
     if _RPC_BASELINE is None:
         x = jnp.zeros((8,))
         _sync(x)
+        _sync(x + 1.0)  # warm: the first x+1.0 pays its own compile (~0.3 s),
+        # which inflated the baseline ~2x when this ran cold (serve_bench r4)
         t0 = time.perf_counter()
         for _ in range(5):
             _sync(x + 1.0)

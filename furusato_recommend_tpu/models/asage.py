@@ -168,7 +168,12 @@ class ASAGE(SAGE):
         attr_bpr = bpr_loss_from_scores(
             jnp.sum(ua * pa, axis=-1), jnp.sum(ua * na, axis=-1), batch.valid
         )
-        # whole-parameter L2 excluding attr tables (asage.py:448-451)
+        # whole-parameter L2 excluding attr tables (asage.py:448-451).
+        # Deviation (fixed reference defect): the reference accumulates
+        # ``all_param += all_param + v.norm(2)`` — each parameter's norm is
+        # weighted 2^(k-1) by ITERATION ORDER (and it sums norms, not squared
+        # norms). We use the standard 0.5*sum(sq) the rest of the family uses;
+        # the exclusion rule ('attr_emb' params skipped) is kept.
         reg = 0.0
         for k_name, v in params.items():
             if "attr_emb" in k_name:

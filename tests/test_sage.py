@@ -206,6 +206,17 @@ def test_asage(sage_ds):
     # attr tables get gradient through the auxiliary loss
     g = jax.grad(lambda p: m.loss(p, sage_ds.graph, b, jax.random.PRNGKey(2))[0])(params)
     assert float(jnp.linalg.norm(g["user_attr_emb"])) > 0
+    # loss composition oracle (asage.py:440-477): total = bpr + 0.1*attr_bpr
+    # + decay*reg, reg independently recomputed EXCLUDING the attr tables
+    reg = sum(
+        0.5 * float(np.sum(np.asarray(leaf) ** 2))
+        for k_name, v in params.items()
+        if "attr_emb" not in k_name
+        for leaf in jax.tree_util.tree_leaves(v)
+    ) / float(jnp.sum(b.valid))
+    np.testing.assert_allclose(float(aux["reg"]), reg, rtol=1e-5)
+    want = float(aux["bpr"]) + 0.1 * float(aux["attr_bpr"]) + cfg.decay * reg
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
 
 
 def test_full_registry_covers_reference_model_zoo():
