@@ -288,7 +288,7 @@ def run_textsage(
             reg = decay * sum(0.5 * (q**2).sum() for q in model.parameters()) / B
             reg.backward()
             opt.step()
-            last_loss = total + float(reg)
+            last_loss = total + float(reg.detach())
         if eval_every and ((ep + 1) % eval_every == 0 or ep + 1 == epochs):
             metrics = evaluate()
             if record is not None:
