@@ -71,6 +71,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--eval_every", type=int, default=3)
     ap.add_argument("--accum_chunk", type=int, default=1250)
+    ap.add_argument("--neg_candidates", type=int, default=4,
+                    help="tpu side: bounded rejection width (16 ~ exact)")
+    ap.add_argument("--exact_membership", action="store_true",
+                    help="tpu side: binary-search membership instead of cuckoo")
+    ap.add_argument("--tag", default="",
+                    help="output filename suffix for lever runs")
     args = ap.parse_args()
 
     if args.side == "torch":
@@ -84,8 +90,9 @@ def main():
     ds = load_dataset()
     out_dir = os.path.join(os.path.dirname(__file__), "results")
     os.makedirs(out_dir, exist_ok=True)
+    sfx = f"_{args.tag}" if args.tag else ""
     out_path = os.path.join(
-        out_dir, f"anchor20k_{args.model}_{args.side}_s{args.seed}.jsonl"
+        out_dir, f"anchor20k_{args.model}_{args.side}{sfx}_s{args.seed}.jsonl"
     )
     f = open(out_path, "w")
     t_start = time.time()
@@ -101,6 +108,7 @@ def main():
         cfg = ddp_flagship_config().replace(
             eval_user_batch=2048, topks=(10, 20), seed=args.seed,
             epochs=args.epochs, test_span=args.eval_every, compile_cache=cache,
+            neg_candidates=args.neg_candidates,
         )
     else:
         cfg = Config(
@@ -156,6 +164,10 @@ def main():
         from furusato_recommend_tpu.models.registry import build_model
         from furusato_recommend_tpu.train.trainer import Trainer
 
+        if args.exact_membership:
+            import dataclasses
+
+            ds._graph = dataclasses.replace(ds.graph, pos_hash=None)
         if args.model == "textsage":
             from furusato_recommend_tpu.data.features import synthetic_features
 
