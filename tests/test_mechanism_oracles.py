@@ -305,6 +305,131 @@ def test_relational_full_graph_matches_torch(oracle_graph, oracle_xs, mode, side
 
 
 # ---------------------------------------------------------------------------
+# Edge-feature convs, SAMPLED (fanout-tree training) paths: the edge_pos ->
+# user-order edge-feature lookup (and, on the item side, the
+# prop_item_edge_perm indirection) feeding attention/gating/combine math.
+# ---------------------------------------------------------------------------
+
+
+def _sampled_edge_fixture(oracle_graph, side, seed):
+    """Random [B, F] neighbor blocks + edge positions valid for `side`'s CSR,
+    plus the independently-derived per-slot edge feature index (u, i) pairs."""
+    rng = np.random.default_rng(seed)
+    B, F = 7, 4
+    edges_user = _edges_user_order(oracle_graph)
+    E = len(edges_user)
+    target = rng.standard_normal((B, D)).astype(np.float32)
+    nbrs = rng.standard_normal((B, F, D)).astype(np.float32)
+    pos = rng.integers(0, E, (B, F)).astype(np.int32)
+    if side == "user":
+        pairs = [[edges_user[p] for p in row] for row in pos]
+    else:
+        # item-CSR edge order: enumerate (u, i) by item row
+        ptr, idx = _csr_np(oracle_graph.prop_item_pos)
+        edges_item = [
+            (int(idx[k]), i) for i in range(len(ptr) - 1) for k in range(ptr[i], ptr[i + 1])
+        ]
+        pairs = [[edges_item[p] for p in row] for row in pos]
+    return target, nbrs, pos, pairs
+
+
+@pytest.mark.parametrize("side", ["user", "item"])
+def test_temporal_sampled_matches_torch(oracle_graph, side):
+    conv = get_conv("temporal")
+    lp = conv.init(jax.random.PRNGKey(37), D, 1.0)
+    lpn = _np(lp)
+    rng = np.random.default_rng(8)
+    edges = _edges_user_order(oracle_graph)
+    et = rng.random(len(edges)).astype(np.float32)
+    t_of = {edges[k]: et[k] for k in range(len(edges))}
+    target, nbrs, pos, pairs = _sampled_edge_fixture(oracle_graph, side, 9)
+    ctx = {"graph": oracle_graph, "edge_time": jnp.asarray(et), "edge_label": None,
+           "rel_emb": None, "neighbors": jnp.asarray(nbrs),
+           "edge_pos": jnp.asarray(pos), "side": side}
+    ours = np.asarray(
+        conv.sampled(lp, jnp.asarray(target), jnp.mean(jnp.asarray(nbrs), -2), ctx)
+    )
+    dh = D // N_HEADS
+    want = np.zeros_like(ours)
+    for b in range(len(target)):
+        t = torch.tensor([t_of[p] for p in pairs[b]])
+        te = torch.cos(
+            t[:, None] * torch.from_numpy(lpn["time_freq"])
+            + torch.from_numpy(lpn["time_phase"])
+        )
+        kv = torch.cat([torch.from_numpy(nbrs[b]), te], dim=1)
+        q = (torch.from_numpy(target[b]) @ torch.from_numpy(lpn["wq"])).reshape(N_HEADS, dh)
+        k = (kv @ torch.from_numpy(lpn["wk"])).reshape(-1, N_HEADS, dh)
+        v = (kv @ torch.from_numpy(lpn["wv"])).reshape(-1, N_HEADS, dh)
+        e = torch.einsum("hd,fhd->fh", q, k) / np.sqrt(dh)
+        out = torch.einsum("fh,fhd->hd", torch.softmax(e, dim=0), v).reshape(D)
+        want[b] = (out + torch.from_numpy(target[b]) @ torch.from_numpy(lpn["w_skip"])).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("side", ["user", "item"])
+def test_recency_sampled_matches_torch(oracle_graph, side):
+    conv = get_conv("recency")
+    lp = conv.init(jax.random.PRNGKey(41), D, 1.0)
+    lpn = _np(lp)
+    edges = _edges_user_order(oracle_graph)
+    et = (np.random.default_rng(10).permutation(len(edges)) + 1).astype(np.float32)
+    t_of = {edges[k]: et[k] for k in range(len(edges))}
+    target, nbrs, pos, pairs = _sampled_edge_fixture(oracle_graph, side, 11)
+    aggr = nbrs.mean(1)
+    ctx = {"graph": oracle_graph, "edge_time": jnp.asarray(et), "edge_label": None,
+           "rel_emb": None, "neighbors": jnp.asarray(nbrs),
+           "edge_pos": jnp.asarray(pos), "side": side}
+    ours = np.asarray(conv.sampled(lp, jnp.asarray(target), jnp.asarray(aggr), ctx))
+    want = np.zeros_like(ours)
+    for b in range(len(target)):
+        a = torch.from_numpy(aggr[b])
+        if side == "user":
+            t = np.array([t_of[p] for p in pairs[b]])
+            recent = torch.from_numpy(nbrs[b][int(np.argmax(t))])
+            out = a + a * recent
+        else:
+            out = a
+        row = torch.cat([torch.from_numpy(target[b]), out])
+        want[b] = (row @ torch.from_numpy(lpn["w"]) + torch.from_numpy(lpn["b"])).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["add", "sum", "prod"])
+def test_relational_sampled_matches_torch(oracle_graph, mode):
+    conv = get_conv(f"relational_{mode}")
+    lp = conv.init(jax.random.PRNGKey(43), D, 1.0)
+    lpn = _np(lp)
+    rng = np.random.default_rng(12)
+    edges = _edges_user_order(oracle_graph)
+    R = 3
+    labels = rng.integers(0, R, len(edges)).astype(np.int32)
+    lab_of = {edges[k]: int(labels[k]) for k in range(len(edges))}
+    rel_emb = rng.standard_normal((R, D)).astype(np.float32)
+    target, nbrs, pos, pairs = _sampled_edge_fixture(oracle_graph, "user", 13)
+    ctx = {"graph": oracle_graph, "edge_time": None,
+           "edge_label": jnp.asarray(labels), "rel_emb": jnp.asarray(rel_emb),
+           "neighbors": jnp.asarray(nbrs), "edge_pos": jnp.asarray(pos),
+           "side": "user"}
+    ours = np.asarray(
+        conv.sampled(lp, jnp.asarray(target), jnp.mean(jnp.asarray(nbrs), -2), ctx)
+    )
+    want = np.zeros_like(ours)
+    for b in range(len(target)):
+        rel = torch.from_numpy(rel_emb[[lab_of[p] for p in pairs[b]]])
+        src = torch.from_numpy(nbrs[b])
+        if mode == "sum":
+            msg = torch.cat([src, rel], dim=1)
+        elif mode == "prod":
+            msg = src * rel
+        else:
+            msg = src + rel
+        row = torch.cat([torch.from_numpy(target[b]), msg.mean(0)])
+        want[b] = (row @ torch.from_numpy(lpn["w"]) + torch.from_numpy(lpn["b"])).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
 # Remaining conv full-graph paths: gat (additive attention), pinsage
 # (relu-transformed mean + L2-normed head handled by the model), ggnn (GRU),
 # gcn (self+neighbor mix) — completing oracle coverage of the conv menu
