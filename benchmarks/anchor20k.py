@@ -77,6 +77,9 @@ def main():
                     help="tpu side: binary-search membership instead of cuckoo")
     ap.add_argument("--tag", default="",
                     help="output filename suffix for lever runs")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="torch side: message dropout (0.2 = the reference's "
+                         "exact recipe, ddp.py:195,544)")
     args = ap.parse_args()
 
     if args.side == "torch":
@@ -158,7 +161,7 @@ def main():
                 bs=cfg.bpr_batch_size, F=cfg.num_neighbors, L=cfg.n_layers,
                 sampler=sampler, ks=tuple(cfg.topks),
                 eval_every=args.eval_every, record=record,
-                accum_chunk=args.accum_chunk,
+                accum_chunk=args.accum_chunk, dropout=args.dropout,
             )
     else:
         from furusato_recommend_tpu.models.registry import build_model

@@ -74,10 +74,16 @@ class TorchTextSAGE(torch.nn.Module):
         return proj(torch.cat(parts, dim=1))
 
 
-def make_encoder(model, rng, up_ptr, up_idx, ip_ptr, ip_idx, F, L):
+def make_encoder(model, rng, up_ptr, up_idx, ip_ptr, ip_idx, F, L, dropout=0.0):
     """Fanout-tree encoder (the reference DDP's neighbor-sampled train-time
     forward, `/root/reference/ddp.py:470-560`): uniform fanout-F trees of depth
-    L, mean aggregation, relu on all but the last conv."""
+    L, mean aggregation, relu on all but the last conv.
+
+    dropout: the reference applies Dropout(0.2) to source messages
+    (`/root/reference/ddp.py:195,544`); default 0.0 here (the historical
+    oracle behavior — it descends faster per epoch but reaches the same
+    loss->recall frontier, see PERF.md "anchor" section; pass 0.2 for the
+    exact reference recipe)."""
 
     def fanout(ptr, idx, nodes):
         deg = ptr[nodes + 1] - ptr[nodes]
@@ -101,7 +107,13 @@ def make_encoder(model, rng, up_ptr, up_idx, ip_ptr, ip_idx, F, L):
         for i in range(L):
             new_xs = []
             for lvl in range(L - i):
-                aggr = xs[lvl + 1].mean(dim=-2)
+                nbr_x = xs[lvl + 1]
+                if dropout > 0.0:
+                    keep = torch.from_numpy(
+                        (rng.random(nbr_x.shape) >= dropout).astype(np.float32)
+                    )
+                    nbr_x = nbr_x * keep / (1.0 - dropout)
+                aggr = nbr_x.mean(dim=-2)
                 aggr = aggr * torch.from_numpy(valids[lvl + 1]).float().reshape(
                     aggr.shape[:-1] + (1,)
                 )
@@ -226,6 +238,7 @@ def run_textsage(
     eval_every=None,
     record=None,
     accum_chunk=None,
+    dropout=0.0,
 ):
     """Train the clean-room torch TextSAGE; returns final eval metrics.
 
@@ -245,7 +258,7 @@ def run_textsage(
     ip_ptr = np.asarray(g.item_pos.indptr, np.int64)
     ip_idx = np.asarray(g.item_pos.indices, np.int64)
     n, m = ds.n_users, ds.m_items
-    encode = make_encoder(model, rng, up_ptr, up_idx, ip_ptr, ip_idx, F, L)
+    encode = make_encoder(model, rng, up_ptr, up_idx, ip_ptr, ip_idx, F, L, dropout=dropout)
 
     def evaluate():
         ux, ix = textsage_full_embeddings(model, up_ptr, up_idx, ip_ptr, ip_idx, n, m, L)
