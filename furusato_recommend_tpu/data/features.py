@@ -39,6 +39,7 @@ __all__ = [
     "SideFeatures",
     "FeatureStore",
     "synthetic_features",
+    "informative_synthetic_features",
     "pad_text_rows",
     "load_reference_features",
     "load_attribute_coos",
@@ -160,6 +161,112 @@ def synthetic_features(
         edge_label=jnp.asarray(rng.integers(0, n_relations, E).astype(np.int32))
         if with_edge_label
         else None,
+    )
+
+
+def informative_synthetic_features(
+    dataset: Dataset,
+    config: Config,
+    dataset_seed: int = 0,
+    rank: int = 16,
+    seed: int = 1,
+    n_numeric_user: int = 24,
+    n_numeric_item: int = 16,
+    n_cat_fields_user: int = 4,
+    n_cat_fields_item: int = 5,
+    n_clusters: int = 32,
+    tokens_per_cluster: int = 10,
+    text_vocab: int = 500,
+    text_width: int = 12,
+    numeric_noise: float = 0.15,
+    w2v_noise: float = 0.3,
+    cluster_fidelity: float = 0.85,
+) -> FeatureStore:
+    """Synthetic feature artifacts that CARRY the dataset's latent signal.
+
+    ``synthetic_features`` draws everything i.i.d. — noise w.r.t. the latent
+    structure of ``synthetic_structured_dataset`` — so a feature-only model
+    (the reference flagship TextSAGE has NO free id embeddings,
+    `/root/reference/model/textsage.py:291-352`: node vectors are built purely
+    from feature projections + graph conv) can at best track popularity on it.
+    Here every modality is a noisy view of the ground-truth latents U/V
+    (regenerated via ``structured_latents(dataset_seed)``):
+
+    - numeric [N, Fn]: first ``rank`` columns are the latent coordinates
+      (scaled, + ``numeric_noise`` i.i.d. noise); remaining columns pure noise
+      (the linear projection must select the informative ones).
+    - word2vec/sentence/bert: latents through a fixed random linear map to the
+      artifact width + noise — linearly decodable, like real text embeddings.
+    - text: entities are soft-clustered by latent direction against a SHARED
+      user/item centroid set; cluster ``c`` owns the token band
+      ``[c*tokens_per_cluster, (c+1)*tokens_per_cluster)``. Each field draws
+      most tokens (``cluster_fidelity``) from the entity's own band, the rest
+      uniformly — so the learned word-embedding bag can align users with the
+      items they will like purely through shared token bands.
+    - categorical: per-field cluster ids under field-specific centroid sets
+      (vocab = ``n_clusters``).
+
+    Same shapes/dtypes/ranges as ``synthetic_features`` so both the TPU model
+    and the clean-room torch oracle (tests/torch_oracle.py::np_feats) consume
+    either interchangeably — the informative-vs-noise comparison is a pure
+    feature ablation.
+    """
+    from .dataset import structured_latents
+
+    rng = np.random.default_rng(seed + 7_777_777)
+    nu, mi = dataset.n_users, dataset.m_items
+    U, V = structured_latents(nu, mi, rank=rank, seed=dataset_seed)
+    # unit-normalize for cluster geometry; keep raw for numeric columns
+    Un = U / np.linalg.norm(U, axis=1, keepdims=True)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    centroids = rng.standard_normal((n_clusters, rank)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def dense_view(lat, width, noise):
+        R = rng.standard_normal((rank, width)).astype(np.float32) / np.sqrt(rank)
+        return (lat @ R + noise * rng.standard_normal((lat.shape[0], width)).astype(np.float32))
+
+    def side(lat, latn, fn, fc):
+        n = lat.shape[0]
+        numeric = numeric_noise * rng.standard_normal((n, fn)).astype(np.float32)
+        numeric[:, :rank] += 0.5 * lat
+        cluster = np.argmax(latn @ centroids.T, axis=1)  # [n]
+        n_fields = TEXT_FIELDS + (
+            1 if (n == mi and "r" in config.item_feature) else 0
+        )
+        text = np.full((n, n_fields, text_width), -1, dtype=np.int32)
+        band0 = cluster * tokens_per_cluster
+        for i in range(n):
+            for f in range(n_fields):
+                k = int(rng.integers(3, text_width))
+                own = rng.random(k) < cluster_fidelity
+                toks = np.where(
+                    own,
+                    band0[i] + rng.integers(0, tokens_per_cluster, size=k),
+                    rng.integers(0, text_vocab, size=k),
+                )
+                text[i, f, : len(np.unique(toks))] = np.unique(toks)
+        cat = np.empty((n, fc), dtype=np.int32)
+        for f in range(fc):
+            cf = rng.standard_normal((n_clusters, rank)).astype(np.float32)
+            cat[:, f] = np.argmax(latn @ cf.T, axis=1)
+        return SideFeatures(
+            numeric=jnp.asarray(numeric),
+            categorical=jnp.asarray(cat),
+            word2vec=jnp.asarray(dense_view(lat, WORD2VEC_DIM, w2v_noise)),
+            sentence=jnp.asarray(dense_view(lat, SENTENCE_DIM, w2v_noise)),
+            bert=jnp.asarray(dense_view(lat, BERT_DIM, w2v_noise)),
+            text=jnp.asarray(text),
+        )
+
+    assert n_clusters * tokens_per_cluster <= text_vocab
+    return FeatureStore(
+        user=side(U, Un, n_numeric_user, n_cat_fields_user),
+        item=side(V, Vn, n_numeric_item, n_cat_fields_item),
+        user_cat_vocab=n_clusters,
+        item_cat_vocab=n_clusters,
+        text_vocab=text_vocab,
     )
 
 

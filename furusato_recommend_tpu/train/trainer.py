@@ -528,7 +528,11 @@ class Trainer:
         self._prefetch = None
         return params, opt_state
 
-    def train_one_epoch(self, params, opt_state):
+    def train_one_epoch(self, params, opt_state, prefetch_next: bool = True):
+        """prefetch_next=False skips the pipelined sample dispatch for the NEXT
+        epoch — fit() passes it on the final epoch so the last eval doesn't
+        queue behind a wasted whole-epoch sampling program and the prefetched
+        batch buffers don't stay resident in device memory (ADVICE r4)."""
         if self.ooc:
             self._refresh_bound(params)
         if self._prefetch is not None:
@@ -545,7 +549,7 @@ class Trainer:
             batches,
             self._bound,
         )
-        if self.pipeline:
+        if self.pipeline and prefetch_next:
             # enqueue the NEXT epoch's sampling behind the scan we just
             # dispatched, BEFORE the float(loss) host sync below: the device
             # queue never drains between epochs. Same key chain, same order —
@@ -623,7 +627,9 @@ class Trainer:
         # the restored self.step so logged steps stay monotonic across restarts
         while self.step < epochs:
             t0 = time.perf_counter()
-            params, opt_state, loss = self.train_one_epoch(params, opt_state)
+            params, opt_state, loss = self.train_one_epoch(
+                params, opt_state, prefetch_next=self.step + 1 < epochs
+            )
             dt = time.perf_counter() - t0
             self.logger.log(
                 {
@@ -645,10 +651,26 @@ class Trainer:
 
     def save(self, params, opt_state, path=None):
         # single-writer guard: in a multi-process world only the primary host
-        # writes (the reference's rank-0-only gating, /root/reference/ddp.py:814);
-        # params/opt_state are replicated or addressable-shard-complete per host
+        # writes (the reference's rank-0-only gating, /root/reference/ddp.py:814).
+        # Both backends jax.device_get the full tree, which requires every
+        # leaf to be fully addressable from the writing process — true for
+        # replicated and data-sharded params, false when the MODEL axis spans
+        # processes. Check on ALL hosts (not just the primary) so every
+        # process raises consistently instead of desyncing (ADVICE r4).
         from ..core.distributed import is_primary_host
 
+        if jax.process_count() > 1:
+            for path_k, leaf in jax.tree_util.tree_flatten_with_path(
+                {"params": params, "opt_state": opt_state}
+            )[0]:
+                if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                    raise NotImplementedError(
+                        "checkpoint save with a model-sharded axis spanning "
+                        f"processes: leaf {jax.tree_util.keystr(path_k)} is not "
+                        "fully addressable from this host. Use a process-local "
+                        "model axis (mesh model dim within one host) or gather "
+                        "params before saving."
+                    )
         if not is_primary_host():
             return
         # with an outstanding sample prefetch, persist the chain state from
