@@ -63,10 +63,28 @@ def load_dataset():
     return ds
 
 
+def make_features(ds, cfg, kind: str):
+    """Feature artifacts for the textsage anchor: 'noise' (i.i.d. — the
+    round-4 anchors) or 'informative' (latent-derived; same shapes/seed so the
+    comparison is a pure feature ablation)."""
+    if kind == "informative":
+        from furusato_recommend_tpu.data.features import (
+            informative_synthetic_features,
+        )
+
+        return informative_synthetic_features(
+            ds, cfg, dataset_seed=DSEED, rank=16, seed=0
+        )
+    from furusato_recommend_tpu.data.features import synthetic_features
+
+    return synthetic_features(ds, cfg, seed=0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--side", required=True, choices=["torch", "tpu"])
-    ap.add_argument("--model", default="textsage", choices=["textsage", "lgn"])
+    ap.add_argument("--model", default="textsage",
+                    choices=["textsage", "lgn", "sasrec"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--eval_every", type=int, default=3)
@@ -80,7 +98,14 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.0,
                     help="torch side: message dropout (0.2 = the reference's "
                          "exact recipe, ddp.py:195,544)")
+    ap.add_argument("--features", default="noise", choices=["noise", "informative"],
+                    help="textsage feature artifacts: noise (i.i.d., the "
+                         "round-4 anchors) or informative (latent-derived, "
+                         "round-5: the feature-signal quality anchor; output "
+                         "tagged _inf)")
     args = ap.parse_args()
+    if args.features == "informative" and not args.tag:
+        args.tag = "inf"
 
     if args.side == "torch":
         # never touch the TPU tunnel from the background oracle job
@@ -112,6 +137,15 @@ def main():
             eval_user_batch=2048, topks=(10, 20), seed=args.seed,
             epochs=args.epochs, test_span=args.eval_every, compile_cache=cache,
             neg_candidates=args.neg_candidates,
+        )
+    elif args.model == "sasrec":
+        # reference defaults: recdim 64, layer 2, len-50 sequences, lr 1e-3
+        # (`/root/reference/parse.py` + `model/sasrec.py:55-500`)
+        cfg = Config(
+            model="sasrec", latent_dim=64, bpr_batch_size=2048, lr=1e-3,
+            decay=1e-6, user_feature="nwt", item_feature="nwt",
+            eval_user_batch=2048, topks=(10, 20), seed=args.seed,
+            epochs=args.epochs, test_span=args.eval_every, compile_cache=cache,
         )
     else:
         cfg = Config(
@@ -147,10 +181,24 @@ def main():
                 seed=args.seed, decay=cfg.decay, bs=cfg.bpr_batch_size,
                 ks=tuple(cfg.topks), eval_every=args.eval_every, record=record,
             )
-        else:
-            from furusato_recommend_tpu.data.features import synthetic_features
+        elif args.model == "sasrec":
+            from torch_oracle import np_feats as _npf
+            from torch_oracle import run_sasrec
 
-            feats = synthetic_features(ds, cfg, seed=0)
+            from furusato_recommend_tpu.data.sequence import build_sequences
+
+            feats = make_features(ds, cfg, args.features)
+            seqs = build_sequences(ds)
+            run_sasrec(
+                ds, _npf(feats.item), feats.text_vocab,
+                np.asarray(seqs.items), np.asarray(seqs.lengths),
+                epochs=args.epochs, dim=cfg.latent_dim, lr=cfg.lr,
+                seed=args.seed, decay=cfg.decay, bs=cfg.bpr_batch_size,
+                L=cfg.n_layers, ks=tuple(cfg.topks),
+                eval_every=args.eval_every, record=record,
+            )
+        else:
+            feats = make_features(ds, cfg, args.features)
             fu, fi = np_feats(feats.user), np_feats(feats.item)
             sampler = DDPSamplerNp(
                 ds, spe, cfg.positive_num_limit, cfg.negative_pow
@@ -172,10 +220,16 @@ def main():
 
             ds._graph = dataclasses.replace(ds.graph, pos_hash=None)
         if args.model == "textsage":
-            from furusato_recommend_tpu.data.features import synthetic_features
-
-            feats = synthetic_features(ds, cfg, seed=0)
+            feats = make_features(ds, cfg, args.features)
             model = build_model(args.model, cfg, ds.graph, features=feats)
+        elif args.model == "sasrec":
+            from furusato_recommend_tpu.data.sequence import build_sequences
+
+            feats = make_features(ds, cfg, args.features)
+            model = build_model(
+                args.model, cfg, ds.graph, features=feats,
+                sequences=build_sequences(ds),
+            )
         else:
             model = build_model(args.model, cfg, ds.graph)
         tr = Trainer(cfg, ds, model, ddp_recipe=(args.model == "textsage"))

@@ -195,7 +195,14 @@ def rerank_eval(
     top_keys = np.where(top >= 0, users[:, None] * m + top, -1)
     hit = np.isin(top_keys, gt_keys) & (top >= 0)
     got = hit.sum(axis=1)
+    # binary-gain ndcg@k, same formula as eval/metrics.py (reference
+    # metric.py NDCGatK_r): DCG over hit ranks / ideal DCG for gt_len items
+    disc = 1.0 / np.log2(2.0 + np.arange(k))
+    # rank() returns min(C, k) columns when fewer candidates than k exist
+    dcg = (hit * disc[None, : hit.shape[1]]).sum(axis=1)
+    idcg = np.cumsum(disc)[np.maximum(np.minimum(gt_lens.astype(int), k), 1) - 1]
     return {
         f"rerank_recall@{k}": float(np.mean(got / np.maximum(gt_lens, 1.0))),
+        f"rerank_ndcg@{k}": float(np.mean(dcg / np.maximum(idcg, 1e-9))),
         f"rerank_hr@{k}": float(np.mean(got > 0)),
     }

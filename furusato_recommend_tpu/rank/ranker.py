@@ -56,6 +56,7 @@ class NeuralRanker:
         hidden: Tuple[int, int] = (256, 128),
         objective: str = "lambdarank",  # or "pairwise"
         ndcg_at: int = 10,
+        interaction_dim: int = 16,
     ):
         self.features = features
         self.spec: RankFeatureSpec = rank_feature_spec(features)
@@ -63,13 +64,22 @@ class NeuralRanker:
         self.hidden = hidden
         self.objective = objective
         self.ndcg_at = ndcg_at
+        # bilinear user x item interaction head: score += <P_u f_u, P_i f_i>.
+        # A concat-MLP cannot represent the multiplicative user-item affinity
+        # that ranking candidates requires (measured: rerank trails the best
+        # retriever without it, benchmarks/rank20k.py); a GBDT approximates it
+        # through axis-aligned splits, this head models it directly. Inputs are
+        # still exactly the make_X columns. 0 disables (pure-MLP ablation).
+        self.interaction_dim = interaction_dim
         s = self.spec
         self.in_dim = (s.n_item_cat + s.n_user_cat) * emb_dim + s.n_user_num + s.n_item_num
+        self.user_in = s.n_user_cat * emb_dim + s.n_user_num
+        self.item_in = s.n_item_cat * emb_dim + s.n_item_num
 
     def init(self, key: jax.Array) -> Dict:
-        ks = jax.random.split(key, 4)
+        ks = jax.random.split(key, 6)
         h1, h2 = self.hidden
-        return {
+        p = {
             "cat_emb": 0.05 * jax.random.normal(ks[0], (self.spec.cat_vocab, self.emb_dim)),
             "w1": _xavier(ks[1], (self.in_dim, h1)),
             "b1": jnp.zeros((h1,)),
@@ -78,15 +88,33 @@ class NeuralRanker:
             "w3": _xavier(ks[3], (h2, 1)),
             "b3": jnp.zeros((1,)),
         }
+        if self.interaction_dim:
+            p["pu"] = _xavier(ks[4], (self.user_in, self.interaction_dim))
+            p["pi"] = _xavier(ks[5], (self.item_in, self.interaction_dim))
+        return p
 
     def score(self, params, users: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
         """Scores for (user, item) pairs of any shared shape [...]."""
         cat, num = make_X_ids(self.features, users, items)
-        ce = params["cat_emb"][jnp.clip(cat, 0, self.spec.cat_vocab - 1)]
+        s = self.spec
+        ce = params["cat_emb"][jnp.clip(cat, 0, s.cat_vocab - 1)]
         x = jnp.concatenate([ce.reshape(ce.shape[:-2] + (-1,)), num], axis=-1)
         h = jax.nn.relu(x @ params["w1"] + params["b1"])
         h = jax.nn.relu(h @ params["w2"] + params["b2"])
-        return (h @ params["w3"] + params["b3"])[..., 0]
+        out = (h @ params["w3"] + params["b3"])[..., 0]
+        if self.interaction_dim:
+            # make_X column order: cat = [item_cat, user_cat], num = [user_num,
+            # item_num] (rank/features.py) — split per side for the bilinear head
+            item_vec = jnp.concatenate(
+                [ce[..., : s.n_item_cat, :].reshape(ce.shape[:-2] + (-1,)),
+                 num[..., s.n_user_num :]], axis=-1)
+            user_vec = jnp.concatenate(
+                [ce[..., s.n_item_cat :, :].reshape(ce.shape[:-2] + (-1,)),
+                 num[..., : s.n_user_num]], axis=-1)
+            out = out + jnp.sum(
+                (user_vec @ params["pu"]) * (item_vec @ params["pi"]), axis=-1
+            )
+        return out
 
     # -- loss --
     def group_loss(self, params, groups: RankGroups) -> jnp.ndarray:

@@ -398,8 +398,12 @@ def run_sasrec(
     bs=128,
     L=2,
     ks=(10,),
+    eval_every=0,
+    record=None,
 ):
-    """Train the clean-room torch SASRec; returns final eval metrics."""
+    """Train the clean-room torch SASRec; returns final eval metrics.
+    eval_every/record mirror run_textsage: evaluate every N epochs and call
+    record(epoch, metrics, last_loss) (the 20k anchor's curve hook)."""
     from furusato_recommend_tpu.preprocessing.native import bpr_sample_cpu
 
     model = TorchSASRec(fi, dim, vocab, L, seed)
@@ -408,6 +412,26 @@ def run_sasrec(
     up_ptr = np.asarray(g.user_pos.indptr, np.int64)
     up_idx = np.asarray(g.user_pos.indices, np.int64)
     n, m = ds.n_users, ds.m_items
+
+    def evaluate():
+        model.eval()
+        with torch.no_grad():
+            item_initial = model.initial_item(np.arange(m))
+            ix = model.forward_item(item_initial).numpy()
+            ux = np.zeros((n, dim), np.float32)
+            for lo in range(0, n, 512):
+                hi = min(lo + 512, n)
+                ux[lo:hi] = model.forward_user(
+                    item_initial, seq_items[lo:hi], seq_lengths[lo:hi]
+                ).numpy()
+        model.train()
+
+        def score(uu):
+            return ux[uu] @ ix.T
+
+        return eval_full(score, ds, ks=ks)
+
+    metrics, last_loss = None, 0.0
     model.train()
     for ep in range(epochs):
         u, p, ng = bpr_sample_cpu(up_ptr, up_idx, n, m, ds.train_size, seed=seed * 991 + ep)
@@ -429,21 +453,14 @@ def run_sasrec(
             opt.zero_grad()
             loss.backward()
             opt.step()
-    model.eval()
-    with torch.no_grad():
-        item_initial = model.initial_item(np.arange(m))
-        ix = model.forward_item(item_initial).numpy()
-        ux = np.zeros((n, dim), np.float32)
-        for lo in range(0, n, 512):
-            hi = min(lo + 512, n)
-            ux[lo:hi] = model.forward_user(
-                item_initial, seq_items[lo:hi], seq_lengths[lo:hi]
-            ).numpy()
-
-    def score(uu):
-        return ux[uu] @ ix.T
-
-    return eval_full(score, ds, ks=ks)
+            last_loss = float(loss.detach())
+        if eval_every and ((ep + 1) % eval_every == 0 or ep + 1 == epochs):
+            metrics = evaluate()
+            if record is not None:
+                record(ep + 1, metrics, last_loss)
+    if metrics is None or not eval_every:
+        metrics = evaluate()
+    return metrics
 
 
 def run_mf_lgn(
