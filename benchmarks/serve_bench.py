@@ -25,7 +25,7 @@ from furusato_recommend_tpu.data import synthetic_dataset  # noqa: E402
 from furusato_recommend_tpu.data.features import synthetic_features  # noqa: E402
 from furusato_recommend_tpu.models.registry import build_model  # noqa: E402
 from furusato_recommend_tpu.serve import Recommender  # noqa: E402
-from spmm_bench import rpc_baseline  # noqa: E402
+from spmm_bench import rpc_baseline, timeit  # noqa: E402
 
 
 def log(**kw):
@@ -45,7 +45,36 @@ def main():
     np.asarray(rec._user_emb[:1, :1])  # force (block_until_ready lies over the tunnel)
     log(bench="serve_index_build", propagate_s=round(time.time() - t0, 2))
 
+    # ---- co-located device time of the request path (round-4 verdict #6) ----
+    # In-program repetition of the exact serving computation (score + exclusion
+    # mask + top-K, the jitted _topk tile recommend() dispatches): a thin jitted
+    # varier rotates the user tile on device, so the measurement excludes the
+    # tunnel RPC that dominates the wall numbers below. This is the latency a
+    # co-located client (reference serving: same-host GPU) would see.
+    import jax.numpy as jnp  # noqa: E402 (local: keep module import surface flat)
+
     rng = np.random.default_rng(0)
+    n_users = ds.n_users
+
+    def request_path(u, i, ue, ie, mg):
+        return rec._topk((u + i) % n_users, ue, ie, mg, 20)
+
+    req_j = jax.jit(request_path)
+    for tile in (8, 64, 512, 4096):
+        u0 = jnp.asarray(rng.integers(0, n_users, tile).astype(np.int32))
+        dt = timeit(
+            req_j,
+            lambda i: (u0, i, rec._user_emb, rec._item_emb, rec._mask_graph),
+            iters=30,
+        )
+        log(
+            bench="serve_device_time",
+            tile=tile,
+            k=20,
+            device_ms=round(dt * 1e3, 3),
+            users_per_sec=round(tile / dt, 1),
+        )
+
     base = rpc_baseline()
     for bs in (1, 8, 64, 512, 4096):
         users = rng.integers(0, ds.n_users, (40, bs)).astype(np.int32)
