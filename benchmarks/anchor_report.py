@@ -33,7 +33,7 @@ def curve(path):
 
 
 def main():
-    for model in ("textsage", "lgn"):
+    for model in ("textsage", "lgn", "sasrec"):
         print(f"== {model} ==")
         for side in ("tpu", "torch"):
             fin = finals(f"anchor20k_{model}_{side}_s*.jsonl")
@@ -53,6 +53,18 @@ def main():
             gt = np.mean([v["recall@10"] for v in t.values()])
             go = np.mean([v["recall@10"] for v in o.values()])
             print(f"  gap(recall@10): {abs(gt - go):.4f}")
+    print()
+    print("== feature signal (informative vs ablated/noise, round 5) ==")
+    for side in ("tpu", "torch"):
+        inf = finals(f"anchor20k_textsage_{side}_inf_s*.jsonl")
+        noi = finals(f"anchor20k_textsage_{side}_s*.jsonl")
+        if inf:
+            ri = np.array([v["recall@10"] for v in inf.values()])
+            line = f"  {side} informative: n={len(inf)} recall@10 {ri.mean():.4f}"
+            if noi:
+                rn = np.mean([v["recall@10"] for v in noi.values()])
+                line += f"  (ablated {rn:.4f}, lift {ri.mean() / rn:.1f}x)"
+            print(line + "  [popularity 0.0444]")
     print()
     print("per-curve plateau wobble (single-eval sigma):")
     for f in sorted(glob.glob(os.path.join(RES, "anchor20k_*_s0.jsonl"))):

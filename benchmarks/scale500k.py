@@ -39,35 +39,12 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def zipf_bipartite(n_users, m_items, avg_degree, seed=0, popularity_alpha=1.2,
-                   test_holdout=3):
-    """Vectorized synthetic_dataset equivalent: per-edge Zipf item draws,
-    deduped per user, last ``test_holdout`` distinct items per user held out."""
-    rng = np.random.default_rng(seed)
-    pop = 1.0 / np.arange(1, m_items + 1) ** popularity_alpha
-    pop = pop / pop.sum()
-    k_u = rng.integers(test_holdout + 2, max(test_holdout + 3, 2 * avg_degree),
-                       size=n_users)
-    # oversample 30% to survive per-user dedup, then trim to k_u distinct
-    draw = (k_u * 1.3).astype(np.int64) + 4
-    total = int(draw.sum())
-    u = np.repeat(np.arange(n_users, dtype=np.int64), draw)
-    i = rng.choice(m_items, size=total, p=pop)  # vectorized inverse-CDF
-    keys = np.unique(u * m_items + i)  # sorted, distinct (u, item) pairs
-    uu, ii = keys // m_items, keys % m_items
-    deg = np.bincount(uu, minlength=n_users)
-    starts = np.cumsum(deg) - deg
-    pos = np.arange(len(uu)) - starts[uu]
-    kk = np.minimum(deg, k_u)  # target distinct degree (>= holdout+2 w.h.p.)
-    keep = pos < kk[uu]
-    uu, ii, pos = uu[keep], ii[keep], pos[keep]
-    is_test = pos >= (kk[uu] - test_holdout)
-    from furusato_recommend_tpu.data.dataset import Dataset
+def zipf_bipartite(n_users, m_items, avg_degree, seed=0, popularity_alpha=1.2):
+    from furusato_recommend_tpu.data.dataset import synthetic_zipf_dataset
 
-    return Dataset(
-        n_users=n_users, m_items=m_items,
-        train_user=uu[~is_test], train_item=ii[~is_test],
-        test_user=uu[is_test], test_item=ii[is_test],
+    return synthetic_zipf_dataset(
+        n_users, m_items, avg_degree, seed=seed,
+        popularity_alpha=popularity_alpha,
     )
 
 

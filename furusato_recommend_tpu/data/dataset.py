@@ -370,6 +370,53 @@ def synthetic_dataset(
     )
 
 
+def synthetic_zipf_dataset(
+    n_users: int,
+    m_items: int,
+    avg_degree: int = 12,
+    test_holdout: int = 3,
+    seed: int = 0,
+    popularity_alpha: float = 1.2,
+) -> Dataset:
+    """Vectorized ``synthetic_dataset`` for large graphs (500k+ users):
+    per-edge Zipf item draws (numpy inverse-CDF choice), deduped per user,
+    last ``test_holdout`` distinct items per user held out.
+
+    ``synthetic_dataset`` draws each user's row with a no-replacement weighted
+    choice — O(m_items) per user, hours at 500k x 200k. Here the whole edge
+    list is one vectorized draw: users whose dedup'd row came up short simply
+    get a smaller degree (oversampling 1.3x makes that rare), so row degrees
+    approximate — not exactly match — the per-user law
+    ``k_u ~ Uniform[test_holdout+2, 2*avg_degree)``. Used by the 10x-scale
+    validation (benchmarks/scale500k.py)."""
+    rng = np.random.default_rng(seed)
+    pop = 1.0 / np.arange(1, m_items + 1) ** popularity_alpha
+    pop = pop / pop.sum()
+    k_u = rng.integers(
+        test_holdout + 2, max(test_holdout + 3, 2 * avg_degree), size=n_users
+    )
+    draw = (k_u * 1.3).astype(np.int64) + 4
+    u = np.repeat(np.arange(n_users, dtype=np.int64), draw)
+    i = rng.choice(m_items, size=int(draw.sum()), p=pop)
+    keys = np.unique(u * m_items + i)  # sorted, distinct (u, item) pairs
+    uu, ii = keys // m_items, keys % m_items
+    deg = np.bincount(uu, minlength=n_users)
+    starts = np.cumsum(deg) - deg
+    pos = np.arange(len(uu)) - starts[uu]
+    kk = np.minimum(deg, k_u)  # realized distinct degree target
+    keep = pos < kk[uu]
+    uu, ii, pos = uu[keep], ii[keep], pos[keep]
+    is_test = pos >= (kk[uu] - test_holdout)
+    return Dataset(
+        n_users=n_users,
+        m_items=m_items,
+        train_user=uu[~is_test],
+        train_item=ii[~is_test],
+        test_user=uu[is_test],
+        test_item=ii[is_test],
+    )
+
+
 def structured_latents(
     n_users: int,
     m_items: int,

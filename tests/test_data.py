@@ -103,3 +103,23 @@ def test_synthetic_determinism():
     ap, td = a.all_pos(), a.test_dict()
     for u, items in td.items():
         assert len(np.intersect1d(items, ap[u])) == 0
+
+
+def test_synthetic_zipf_dataset_invariants():
+    """Vectorized large-scale generator (scale500k harness): distinct (u, i)
+    pairs, per-user test split disjoint from train, plausible degree law."""
+    from furusato_recommend_tpu.data.dataset import synthetic_zipf_dataset
+
+    ds = synthetic_zipf_dataset(2000, 500, avg_degree=12, seed=3)
+    a = synthetic_zipf_dataset(2000, 500, avg_degree=12, seed=3)
+    np.testing.assert_array_equal(ds.train_item, a.train_item)  # deterministic
+    keys = ds.train_user * ds.m_items + ds.train_item
+    assert len(np.unique(keys)) == len(keys)  # distinct pairs
+    ap, td = ds.all_pos(), ds.test_dict()
+    assert len(td) == ds.n_users  # every user got a test split
+    for u in list(td)[::97]:
+        assert len(np.intersect1d(td[u], ap[u])) == 0
+    deg = np.bincount(ds.train_user, minlength=ds.n_users)
+    # dedup against a small catalog can shrink a row to 1 train edge
+    # (documented: degrees approximate the law, not exactly match it)
+    assert deg.min() >= 1 and 4 <= deg.mean() <= 24
