@@ -181,12 +181,33 @@ class NeuralRanker:
                 print(f"[ranker] epoch {e} loss {float(loss):.5f}")
         return params
 
-    def rank(self, params, users: jnp.ndarray, cand_items: jnp.ndarray, k: int = 10, mask=None):
+    def rank(self, params, users: jnp.ndarray, cand_items: jnp.ndarray, k: int = 10,
+             mask=None, chunk: int = 2048):
         """Per-user re-rank: [U], [U, C] -> top-k item ids [U, k]
         (eval_lgbm.py:67-117 protocol: predict, sort, take 10).
 
         mask: optional [U, C] bool; False slots rank last and return id -1,
-        so padded candidate rows cannot be double-counted."""
+        so padded candidate rows cannot be double-counted.
+
+        chunk: user-tile size. The cat-embedding gather's [U, C, F, emb] temp
+        pads ~14x on TPU ((F, emb) = (9, 16) -> (16, 128) lanes), so ranking
+        every user in one program OOMs at 20k x 100+ candidates; tiling bounds
+        the temp at ~chunk/U of that. Tiles stay one compiled shape (the last
+        one is padded), and a single-tile call is unchanged."""
+        U = users.shape[0]
+        if U <= chunk:
+            return self._rank_tile(params, users, cand_items, k, mask)
+        outs = []
+        for lo in range(0, U, chunk):
+            hi = min(lo + chunk, U)
+            pad = chunk - (hi - lo)
+            u = jnp.pad(users[lo:hi], (0, pad))
+            c = jnp.pad(cand_items[lo:hi], ((0, pad), (0, 0)))
+            m = None if mask is None else jnp.pad(mask[lo:hi], ((0, pad), (0, 0)))
+            outs.append(self._rank_tile(params, u, c, k, m)[: hi - lo])
+        return jnp.concatenate(outs, axis=0)
+
+    def _rank_tile(self, params, users, cand_items, k, mask):
         s = self.score(params, users[:, None], cand_items)
         if mask is not None:
             s = jnp.where(mask, s, -jnp.inf)
