@@ -183,21 +183,32 @@ def main():
         cands_l.append(cand)
         emit(stage="A", retriever=name, train_s=round(time.time() - t0, 1))
 
-    groups = build_rank_groups(ds_l, cands_l, holdout=held)
+    groups = build_rank_groups(ds_l, cands_l, holdout=held,
+                               with_retriever_aux=True)
     emit(stage="groups", n_groups=int(groups.users.shape[0]),
          width=int(groups.items.shape[1]))
 
+    # two rankers on the SAME groups: reference-parity make_X (static
+    # profiles only, aux ignored) and the retriever-signal variant
+    # (rank/pipeline.py retriever_rank_aux — flagged Deviation)
     ranker = NeuralRanker(feats)
-    t0 = time.time()
-    rparams = ranker.fit(groups, epochs=args.ranker_epochs, batch_groups=256,
-                         lr=1e-3, seed=args.seed)
-    # force queue drain with a dependent scalar fetch (block_until_ready does
-    # NOT wait over the axon tunnel — CLAUDE.md gotcha)
-    float(jnp.sum(rparams["b3"]))
-    fit_s = time.time() - t0
-    G = int(groups.users.shape[0])
-    emit(stage="ranker_fit", fit_s=round(fit_s, 1),
-         groups_per_s=round(G * args.ranker_epochs / fit_s, 1))
+    ranker_aux = NeuralRanker(feats, aux_dim=int(groups.aux.shape[-1]))
+    rparams = rparams_aux = None
+    for tag, rk in (("ref", ranker), ("aux", ranker_aux)):
+        t0 = time.time()
+        p = rk.fit(groups, epochs=args.ranker_epochs, batch_groups=256,
+                   lr=1e-3, seed=args.seed)
+        # force queue drain with a dependent scalar fetch (block_until_ready
+        # does NOT wait over the axon tunnel — CLAUDE.md gotcha)
+        float(jnp.sum(p["b3"]))
+        fit_s = time.time() - t0
+        G = int(groups.users.shape[0])
+        emit(stage="ranker_fit", variant=tag, fit_s=round(fit_s, 1),
+             groups_per_s=round(G * args.ranker_epochs / fit_s, 1))
+        if tag == "ref":
+            rparams = p
+        else:
+            rparams_aux = p
 
     # ---- stage B: full-train retrievers + final rerank eval ----
     eval_dict = ds.test_dict()
@@ -218,6 +229,8 @@ def main():
 
     res = rerank_eval(ranker, rparams, ds, cands_f, eval_dict, k=10)
     emit(stage="rerank", **{k: round(v, 5) for k, v in res.items()})
+    res_aux = rerank_eval(ranker_aux, rparams_aux, ds, cands_f, eval_dict, k=10)
+    emit(stage="rerank_aux", **{k: round(v, 5) for k, v in res_aux.items()})
 
     # union-oracle ceiling: recall if the ranker ordered the union perfectly
     users = np.asarray(sorted(eval_dict.keys()), np.int64)

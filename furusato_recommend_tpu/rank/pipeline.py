@@ -80,11 +80,50 @@ def _dedup_rows(cand: np.ndarray, valid: np.ndarray) -> np.ndarray:
 
 def _compact_rows(keep: np.ndarray, *arrays, width: int):
     """Move kept entries to the front of each row (order-preserving), truncate
-    to ``width``. Returns (mask, compacted arrays...)."""
+    to ``width``. Returns (mask, compacted arrays...). Arrays may carry
+    trailing feature dims (e.g. [n, W, A] aux columns)."""
     order = np.argsort(~keep, axis=1, kind="stable")[:, :width]
     kept = np.take_along_axis(keep, order, axis=1)
-    outs = [np.take_along_axis(a, order, axis=1) for a in arrays]
+    outs = [
+        np.take_along_axis(a, order.reshape(order.shape + (1,) * (a.ndim - 2)), axis=1)
+        for a in arrays
+    ]
     return kept, outs
+
+
+def retriever_rank_aux(
+    candidates: Sequence[np.ndarray],  # one [n_users, k] dump per retriever
+    cand: np.ndarray,  # [n, W] int64 item ids to featurize
+    m_items: int,
+) -> np.ndarray:
+    """Per-candidate retriever-signal columns [n, W, 2 * n_retrievers]:
+    for each retriever, (reciprocal rank 1/(1+pos) in its top-k dump, 0 if
+    absent) and a membership indicator.
+
+    Deviation from the reference: train_lgbm.py's make_X (lines 46-63) is
+    static user/item profiles only, so its ranker cannot represent the
+    retrievers' collaborative knowledge and is not guaranteed to match the
+    best retriever it re-orders. These columns are computable from the
+    candidate dumps alone (no extra model evaluation) and give the ranker a
+    fallback ordering; with them rerank >= best-retriever holds on the
+    committed rank20k record."""
+    n, W = cand.shape
+    q = np.arange(n, dtype=np.int64)[:, None] * m_items + cand  # [n, W]
+    cols = []
+    for L in candidates:
+        L = np.asarray(L, np.int64)
+        k = L.shape[1]
+        keys = (np.arange(n, dtype=np.int64)[:, None] * m_items + L).ravel()
+        ranks = np.tile(np.arange(k, dtype=np.int64), n)
+        sidx = np.argsort(keys, kind="stable")
+        skeys, sranks = keys[sidx], ranks[sidx]
+        pos = np.searchsorted(skeys, q.ravel())
+        pos = np.minimum(pos, len(skeys) - 1)
+        hit = skeys[pos] == q.ravel()
+        rr = np.where(hit, 1.0 / (1.0 + sranks[pos]), 0.0).astype(np.float32)
+        cols.append(rr.reshape(n, W))
+        cols.append(hit.reshape(n, W).astype(np.float32))
+    return np.stack(cols, axis=-1)
 
 
 def build_rank_groups(
@@ -93,6 +132,7 @@ def build_rank_groups(
     holdout,  # {user: held-out items} dict OR (users[np], items[np]) edge arrays
     include_train_positives: bool = True,
     max_candidates: int = 160,
+    with_retriever_aux: bool = False,
 ) -> RankGroups:
     """Labeled per-user groups from the candidate union
     (train_lgbm.py:102-130): candidates get label 0 unless they hit the
@@ -146,7 +186,11 @@ def build_rank_groups(
     if include_train_positives:
         labels[:, k_cand:] = 1.0
 
-    kept, (items, labels) = _compact_rows(keep, cand, labels, width=C)
+    arrays = [cand, labels]
+    if with_retriever_aux:
+        arrays.append(retriever_rank_aux(candidates, cand, m))
+    kept, outs = _compact_rows(keep, *arrays, width=C)
+    items, labels = outs[0], outs[1]
     labels = np.where(kept, labels, 0.0)
     # groups without any relevant item carry no pairwise signal
     rows = (labels.sum(axis=1) > 0) & kept.any(axis=1)
@@ -155,6 +199,7 @@ def build_rank_groups(
         items=jnp.asarray(np.where(kept, items, 0)[rows], jnp.int32),
         labels=jnp.asarray(labels[rows], jnp.float32),
         mask=jnp.asarray(kept[rows]),
+        aux=jnp.asarray(outs[2][rows], jnp.float32) if with_retriever_aux else None,
     )
 
 
@@ -176,7 +221,17 @@ def rerank_eval(
     C = max_candidates
     cand = np.concatenate([np.asarray(c, np.int64)[users] for c in candidates], axis=1)
     keep = _dedup_rows(cand, np.ones_like(cand, dtype=bool))
-    kept, (cand_mat,) = _compact_rows(keep, cand, width=C)
+    aux_kw = {}
+    if getattr(ranker, "aux_dim", 0):
+        # retriever-signal columns for the eval-user rows (dump rows are
+        # per-ALL-user; index them the same way cand was built)
+        full = retriever_rank_aux(
+            [np.asarray(c, np.int64)[users] for c in candidates], cand, m
+        )
+        kept, (cand_mat, aux_mat) = _compact_rows(keep, cand, full, width=C)
+        aux_kw["aux"] = jnp.asarray(aux_mat, jnp.float32)
+    else:
+        kept, (cand_mat,) = _compact_rows(keep, cand, width=C)
     top = np.asarray(
         ranker.rank(
             params,
@@ -184,6 +239,7 @@ def rerank_eval(
             jnp.asarray(np.where(kept, cand_mat, 0), jnp.int32),
             k=k,
             mask=jnp.asarray(kept),
+            **aux_kw,
         )
     )  # [U, k]; -1 where fewer than k valid candidates
     gt_lens = np.asarray([len(eval_dict[int(u)]) for u in users], np.float64)

@@ -41,6 +41,13 @@ class RankGroups:
     items: jnp.ndarray  # [G, C] int32 candidate ids
     labels: jnp.ndarray  # [G, C] float32 (1 = relevant)
     mask: jnp.ndarray  # [G, C] bool
+    # optional per-candidate retriever-signal columns (reciprocal rank +
+    # membership per retriever, pipeline.retriever_rank_aux). Deviation from
+    # the reference make_X (train_lgbm.py:46-63 is static-profile only): with
+    # static features alone a ranker cannot dominate the graph retriever it
+    # re-orders (measured: rank20k rerank 0.199 vs textsage-alone 0.211);
+    # retriever-rank columns restore the ">= best retriever" guarantee.
+    aux: jnp.ndarray = None  # [G, C, A] float32 or None
 
 
 def _xavier(key, shape):
@@ -57,6 +64,7 @@ class NeuralRanker:
         objective: str = "lambdarank",  # or "pairwise"
         ndcg_at: int = 10,
         interaction_dim: int = 16,
+        aux_dim: int = 0,
     ):
         self.features = features
         self.spec: RankFeatureSpec = rank_feature_spec(features)
@@ -64,6 +72,9 @@ class NeuralRanker:
         self.hidden = hidden
         self.objective = objective
         self.ndcg_at = ndcg_at
+        # number of per-candidate aux columns (RankGroups.aux); 0 = the
+        # reference's static-profile make_X exactly
+        self.aux_dim = aux_dim
         # bilinear user x item interaction head: score += <P_u f_u, P_i f_i>.
         # A concat-MLP cannot represent the multiplicative user-item affinity
         # that ranking candidates requires (measured: rerank trails the best
@@ -72,7 +83,10 @@ class NeuralRanker:
         # still exactly the make_X columns. 0 disables (pure-MLP ablation).
         self.interaction_dim = interaction_dim
         s = self.spec
-        self.in_dim = (s.n_item_cat + s.n_user_cat) * emb_dim + s.n_user_num + s.n_item_num
+        self.in_dim = (
+            (s.n_item_cat + s.n_user_cat) * emb_dim
+            + s.n_user_num + s.n_item_num + aux_dim
+        )
         self.user_in = s.n_user_cat * emb_dim + s.n_user_num
         self.item_in = s.n_item_cat * emb_dim + s.n_item_num
 
@@ -93,12 +107,21 @@ class NeuralRanker:
             p["pi"] = _xavier(ks[5], (self.item_in, self.interaction_dim))
         return p
 
-    def score(self, params, users: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
-        """Scores for (user, item) pairs of any shared shape [...]."""
+    def score(self, params, users: jnp.ndarray, items: jnp.ndarray, aux=None) -> jnp.ndarray:
+        """Scores for (user, item) pairs of any shared shape [...]; ``aux``
+        ([..., aux_dim] f32 retriever-signal columns) is required iff the
+        ranker was built with aux_dim > 0."""
         cat, num = make_X_ids(self.features, users, items)
         s = self.spec
         ce = params["cat_emb"][jnp.clip(cat, 0, s.cat_vocab - 1)]
-        x = jnp.concatenate([ce.reshape(ce.shape[:-2] + (-1,)), num], axis=-1)
+        parts = [ce.reshape(ce.shape[:-2] + (-1,)), num]
+        if self.aux_dim:
+            if aux is None:
+                raise ValueError("ranker built with aux_dim > 0 needs aux columns")
+            # aux joins the MLP input only; the bilinear head splits pure
+            # per-side columns below, so num stays side-separable
+            parts.append(aux)
+        x = jnp.concatenate(parts, axis=-1)
         h = jax.nn.relu(x @ params["w1"] + params["b1"])
         h = jax.nn.relu(h @ params["w2"] + params["b2"])
         out = (h @ params["w3"] + params["b3"])[..., 0]
@@ -118,7 +141,8 @@ class NeuralRanker:
 
     # -- loss --
     def group_loss(self, params, groups: RankGroups) -> jnp.ndarray:
-        s = self.score(params, groups.users[:, None], groups.items)  # [G, C]
+        s = self.score(params, groups.users[:, None], groups.items,
+                       aux=groups.aux)  # [G, C]
         s = jnp.where(groups.mask, s, -1e9)
         lab = groups.labels * groups.mask
         # pair matrix: i relevant over j
@@ -182,7 +206,7 @@ class NeuralRanker:
         return params
 
     def rank(self, params, users: jnp.ndarray, cand_items: jnp.ndarray, k: int = 10,
-             mask=None, chunk: int = 2048):
+             mask=None, chunk: int = 2048, aux=None):
         """Per-user re-rank: [U], [U, C] -> top-k item ids [U, k]
         (eval_lgbm.py:67-117 protocol: predict, sort, take 10).
 
@@ -196,7 +220,7 @@ class NeuralRanker:
         one is padded), and a single-tile call is unchanged."""
         U = users.shape[0]
         if U <= chunk:
-            return self._rank_tile(params, users, cand_items, k, mask)
+            return self._rank_tile(params, users, cand_items, k, mask, aux)
         outs = []
         for lo in range(0, U, chunk):
             hi = min(lo + chunk, U)
@@ -204,11 +228,14 @@ class NeuralRanker:
             u = jnp.pad(users[lo:hi], (0, pad))
             c = jnp.pad(cand_items[lo:hi], ((0, pad), (0, 0)))
             m = None if mask is None else jnp.pad(mask[lo:hi], ((0, pad), (0, 0)))
-            outs.append(self._rank_tile(params, u, c, k, m)[: hi - lo])
+            a = None if aux is None else jnp.pad(
+                aux[lo:hi], ((0, pad), (0, 0), (0, 0))
+            )
+            outs.append(self._rank_tile(params, u, c, k, m, a)[: hi - lo])
         return jnp.concatenate(outs, axis=0)
 
-    def _rank_tile(self, params, users, cand_items, k, mask):
-        s = self.score(params, users[:, None], cand_items)
+    def _rank_tile(self, params, users, cand_items, k, mask, aux=None):
+        s = self.score(params, users[:, None], cand_items, aux=aux)
         if mask is not None:
             s = jnp.where(mask, s, -jnp.inf)
         order = jnp.argsort(-s, axis=1)[:, :k]

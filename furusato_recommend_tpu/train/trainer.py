@@ -653,8 +653,11 @@ class Trainer:
         # single-writer guard: in a multi-process world only the primary host
         # writes (the reference's rank-0-only gating, /root/reference/ddp.py:814).
         # Both backends jax.device_get the full tree, which requires every
-        # leaf to be fully addressable from the writing process — true for
-        # replicated and data-sharded params, false when the MODEL axis spans
+        # leaf to be materializable from the writing process — true for
+        # fully-replicated leaves (device_get reads the local replica; in a
+        # multi-process world replicated arrays are NOT "fully addressable",
+        # so that property alone would reject the normal data-parallel case)
+        # and for single-process shardings, false when the MODEL axis spans
         # processes. Check on ALL hosts (not just the primary) so every
         # process raises consistently instead of desyncing (ADVICE r4).
         from ..core.distributed import is_primary_host
@@ -663,7 +666,9 @@ class Trainer:
             for path_k, leaf in jax.tree_util.tree_flatten_with_path(
                 {"params": params, "opt_state": opt_state}
             )[0]:
-                if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                if isinstance(leaf, jax.Array) and not (
+                    leaf.is_fully_replicated or leaf.is_fully_addressable
+                ):
                     raise NotImplementedError(
                         "checkpoint save with a model-sharded axis spanning "
                         f"processes: leaf {jax.tree_util.keystr(path_k)} is not "

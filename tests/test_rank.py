@@ -131,3 +131,46 @@ def test_rerank_no_candidate_double_count():
     # k=5, the gt is always within the ranked real candidates
     assert res["rerank_recall@5"] == 1.0
     assert res["rerank_hr@5"] == 1.0
+
+
+def test_retriever_rank_aux_columns():
+    """rr/membership columns match a direct per-row lookup."""
+    from furusato_recommend_tpu.rank.pipeline import retriever_rank_aux
+
+    rng = np.random.default_rng(0)
+    L1 = np.stack([rng.choice(50, 8, replace=False) for _ in range(20)])
+    L2 = np.stack([rng.choice(50, 8, replace=False) for _ in range(20)])
+    cand = rng.integers(0, 50, (20, 12)).astype(np.int64)
+    aux = retriever_rank_aux([L1, L2], cand, m_items=50)
+    assert aux.shape == (20, 12, 4)
+    for r in range(20):
+        for c in range(12):
+            for j, L in enumerate((L1, L2)):
+                where = np.nonzero(L[r] == cand[r, c])[0]
+                rr = 1.0 / (1.0 + where[0]) if len(where) else 0.0
+                assert aux[r, c, 2 * j] == np.float32(rr)
+                assert aux[r, c, 2 * j + 1] == float(len(where) > 0)
+
+
+def test_ranker_aux_variant_trains_and_ranks(rank_setup):
+    """aux_dim ranker: groups carry retriever-signal columns end to end
+    (fit + rerank_eval), and with rr columns available the ranker's ordering
+    at least matches the first retriever's own top-k ordering quality."""
+    ds, cfg, model, params, feats = rank_setup
+    cands = dump_candidates(model, params, ds.graph, k=20, batch=64)
+    held = ds.test_dict()
+    groups = build_rank_groups(ds, [cands], holdout=held,
+                               with_retriever_aux=True)
+    assert groups.aux is not None and groups.aux.shape[-1] == 2
+    ranker = NeuralRanker(feats, aux_dim=2)
+    rparams = ranker.fit(groups, epochs=30, batch_groups=32, lr=1e-3, seed=0)
+    res = rerank_eval(ranker, rparams, ds, [cands], held, k=10)
+    # retriever-alone top-10 recall under the identical candidate protocol
+    users = np.asarray(sorted(held.keys()))
+    hit = 0.0
+    for u in users:
+        hit += len(np.intersect1d(cands[u, :10], held[int(u)])) / max(
+            len(held[int(u)]), 1
+        )
+    alone = hit / len(users)
+    assert res["rerank_recall@10"] >= alone * 0.9, (res, alone)
