@@ -183,26 +183,42 @@ def main():
         cands_l.append(cand)
         emit(stage="A", retriever=name, train_s=round(time.time() - t0, 1))
 
-    groups = build_rank_groups(ds_l, cands_l, holdout=held,
-                               with_retriever_aux=True)
+    groups = build_rank_groups(ds_l, cands_l, holdout=held)
+    # the aux variant trains on holdout-labeled CANDIDATES only: the
+    # reference protocol's appended train positives (train_lgbm.py:124-126)
+    # are masked out of every dump by construction, so retriever-signal
+    # columns anti-correlate with that majority positive label (measured:
+    # rerank_aux 0.191 < parity 0.199 when trained on the full protocol);
+    # candidates-only groups ARE the eval distribution.
+    groups_aux = build_rank_groups(ds_l, cands_l, holdout=held,
+                                   include_train_positives=False,
+                                   with_retriever_aux=True)
     emit(stage="groups", n_groups=int(groups.users.shape[0]),
-         width=int(groups.items.shape[1]))
+         width=int(groups.items.shape[1]),
+         n_groups_aux=int(groups_aux.users.shape[0]))
 
-    # two rankers on the SAME groups: reference-parity make_X (static
-    # profiles only, aux ignored) and the retriever-signal variant
+    # two rankers: reference-parity make_X (static profiles, reference
+    # protocol groups) and the retriever-signal variant
     # (rank/pipeline.py retriever_rank_aux — flagged Deviation)
     ranker = NeuralRanker(feats)
-    ranker_aux = NeuralRanker(feats, aux_dim=int(groups.aux.shape[-1]))
+    ranker_aux = NeuralRanker(feats, aux_dim=int(groups_aux.aux.shape[-1]))
+    # hold ~20% of the aux groups out of the fit for post-hoc calibration
+    import jax as _jax
+
+    fit_rows = np.asarray(groups_aux.users) % 5 != 0
+    groups_aux_fit = _jax.tree_util.tree_map(lambda a: a[fit_rows], groups_aux)
     rparams = rparams_aux = None
-    for tag, rk in (("ref", ranker), ("aux", ranker_aux)):
+    for tag, rk, gr in (("ref", ranker, groups),
+                        ("aux", ranker_aux, groups_aux_fit)):
         t0 = time.time()
-        p = rk.fit(groups, epochs=args.ranker_epochs, batch_groups=256,
-                   lr=1e-3, seed=args.seed)
+        p = rk.fit(gr, epochs=args.ranker_epochs, batch_groups=256,
+                   lr=1e-3, seed=args.seed,
+                   aux_warm_epochs=15 if tag == "aux" else 0)
         # force queue drain with a dependent scalar fetch (block_until_ready
         # does NOT wait over the axon tunnel — CLAUDE.md gotcha)
         float(jnp.sum(p["b3"]))
         fit_s = time.time() - t0
-        G = int(groups.users.shape[0])
+        G = int(gr.users.shape[0])
         emit(stage="ranker_fit", variant=tag, fit_s=round(fit_s, 1),
              groups_per_s=round(G * args.ranker_epochs / fit_s, 1))
         if tag == "ref":
@@ -230,7 +246,76 @@ def main():
     res = rerank_eval(ranker, rparams, ds, cands_f, eval_dict, k=10)
     emit(stage="rerank", **{k: round(v, 5) for k, v in res.items()})
     res_aux = rerank_eval(ranker_aux, rparams_aux, ds, cands_f, eval_dict, k=10)
-    emit(stage="rerank_aux", **{k: round(v, 5) for k, v in res_aux.items()})
+    emit(stage="rerank_aux", **{k: round(v, 5) for k, v in res_aux.items()},
+         wa=[round(float(x), 4) for x in np.asarray(rparams_aux["wa"])])
+
+    # ---- val-calibrated stack (NeuralRanker.calibrate) ----
+    import jax as _jax
+
+    val_rows = np.asarray(groups_aux.users) % 5 == 0  # ~20% val users
+    g_val = _jax.tree_util.tree_map(lambda a: a[val_rows], groups_aux)
+    rparams_cal = ranker_aux.calibrate(rparams_aux, g_val, k=10)
+    beta, gamma, val_r = [float(x) for x in np.asarray(rparams_cal["_calibration"])]
+    res_cal = rerank_eval(ranker_aux, rparams_cal, ds, cands_f, eval_dict, k=10)
+    emit(stage="rerank_stack", beta=beta, gamma=gamma,
+         val_recall=round(val_r, 5),
+         **{k: round(v, 5) for k, v in res_cal.items()})
+
+    # ---- diagnostics: is the retriever signal recoverable at all? ----
+    from furusato_recommend_tpu.rank.pipeline import (
+        _compact_rows,
+        _dedup_rows,
+        retriever_rank_aux,
+    )
+
+    users_e = np.asarray(sorted(eval_dict.keys()), np.int64)
+    cand_e = np.concatenate(
+        [np.asarray(c, np.int64)[users_e] for c in cands_f], axis=1
+    )
+    keep_e = _dedup_rows(cand_e, np.ones_like(cand_e, dtype=bool))
+    aux_e = retriever_rank_aux(
+        [np.asarray(c, np.int64)[users_e] for c in cands_f], cand_e, ds.m_items
+    )
+    kept_e, (cm_e, am_e) = _compact_rows(keep_e, cand_e, aux_e, width=160)
+    for j, name in enumerate(("lgn", "textsage")):
+        s = np.where(kept_e, am_e[..., 2 * j], -np.inf)
+        order = np.argsort(-s, axis=1)[:, :10]
+        top = np.take_along_axis(cm_e, order, axis=1)
+        ok = np.take_along_axis(kept_e, order, axis=1)
+        top = np.where(ok & (np.take_along_axis(s, order, axis=1) > 0), top, -1)
+        gt_keys = np.sort(np.concatenate(
+            [np.int64(u) * ds.m_items + np.asarray(eval_dict[int(u)], np.int64)
+             for u in users_e]
+        ))
+        gt_lens = np.asarray(
+            [len(eval_dict[int(u)]) for u in users_e], np.float64
+        )
+        hit = np.isin(
+            np.where(top >= 0, users_e[:, None] * ds.m_items + top, -1), gt_keys
+        ) & (top >= 0)
+        emit(stage="diag_rr_only", retriever=name,
+             recall_at_10=round(float(np.mean(
+                 hit.sum(1) / np.maximum(gt_lens, 1.0))), 5))
+    # stage-A pairwise AUC of each aux column (does the training signal even
+    # point the right way?)
+    ga = groups_aux
+    lab = np.asarray(ga.labels) * np.asarray(ga.mask)
+    msk = np.asarray(ga.mask)
+    aux_tr = np.asarray(ga.aux)
+    for j in range(aux_tr.shape[-1]):
+        v = aux_tr[..., j]
+        pos = (lab > 0) & msk
+        neg = (lab == 0) & msk
+        # row-wise mean of P(v_pos > v_neg) + 0.5 P(=)
+        num = den = 0.0
+        for r in range(0, v.shape[0], 1):
+            pv, nv = v[r][pos[r]], v[r][neg[r]]
+            if len(pv) and len(nv):
+                gt = (pv[:, None] > nv[None, :]).sum()
+                eq = (pv[:, None] == nv[None, :]).sum()
+                num += gt + 0.5 * eq
+                den += len(pv) * len(nv)
+        emit(stage="diag_aux_auc", col=j, auc=round(num / max(den, 1.0), 4))
 
     # union-oracle ceiling: recall if the ranker ordered the union perfectly
     users = np.asarray(sorted(eval_dict.keys()), np.int64)

@@ -83,10 +83,7 @@ class NeuralRanker:
         # still exactly the make_X columns. 0 disables (pure-MLP ablation).
         self.interaction_dim = interaction_dim
         s = self.spec
-        self.in_dim = (
-            (s.n_item_cat + s.n_user_cat) * emb_dim
-            + s.n_user_num + s.n_item_num + aux_dim
-        )
+        self.in_dim = (s.n_item_cat + s.n_user_cat) * emb_dim + s.n_user_num + s.n_item_num
         self.user_in = s.n_user_cat * emb_dim + s.n_user_num
         self.item_in = s.n_item_cat * emb_dim + s.n_item_num
 
@@ -105,6 +102,14 @@ class NeuralRanker:
         if self.interaction_dim:
             p["pu"] = _xavier(ks[4], (self.user_in, self.interaction_dim))
             p["pi"] = _xavier(ks[5], (self.item_in, self.interaction_dim))
+        if self.aux_dim:
+            # direct linear head for the retriever-signal columns: the
+            # fallback "follow the retriever order" must be first-order
+            # learnable. Routed through the MLP instead, the rr signal gets
+            # entangled with static-profile features and the learned ranker
+            # measured BELOW both the parity ranker and the retriever
+            # (rank20k chip runs: 0.191/0.172 vs parity 0.199).
+            p["wa"] = jnp.zeros((self.aux_dim,))
         return p
 
     def score(self, params, users: jnp.ndarray, items: jnp.ndarray, aux=None) -> jnp.ndarray:
@@ -114,17 +119,14 @@ class NeuralRanker:
         cat, num = make_X_ids(self.features, users, items)
         s = self.spec
         ce = params["cat_emb"][jnp.clip(cat, 0, s.cat_vocab - 1)]
-        parts = [ce.reshape(ce.shape[:-2] + (-1,)), num]
-        if self.aux_dim:
-            if aux is None:
-                raise ValueError("ranker built with aux_dim > 0 needs aux columns")
-            # aux joins the MLP input only; the bilinear head splits pure
-            # per-side columns below, so num stays side-separable
-            parts.append(aux)
-        x = jnp.concatenate(parts, axis=-1)
+        x = jnp.concatenate([ce.reshape(ce.shape[:-2] + (-1,)), num], axis=-1)
         h = jax.nn.relu(x @ params["w1"] + params["b1"])
         h = jax.nn.relu(h @ params["w2"] + params["b2"])
         out = (h @ params["w3"] + params["b3"])[..., 0]
+        if self.aux_dim:
+            if aux is None:
+                raise ValueError("ranker built with aux_dim > 0 needs aux columns")
+            out = out + aux @ params["wa"]
         if self.interaction_dim:
             # make_X column order: cat = [item_cat, user_cat], num = [user_num,
             # item_num] (rank/features.py) — split per side for the bilinear head
@@ -174,36 +176,122 @@ class NeuralRanker:
         lr: float = 1e-3,
         seed: int = 0,
         verbose: bool = False,
+        aux_warm_epochs: int = 0,
     ) -> Dict:
+        """aux_warm_epochs: with aux columns, first fit the linear retriever-
+        signal head ALONE (every other parameter's update masked to zero) for
+        this many epochs, then train jointly. Without the warm phase the MLP
+        races ahead on the static features and converges with wa near its
+        zero init (measured wa ~0.2-0.3 on the rank20k chip run — the blend
+        never recovers the retriever's own ordering, AUC 0.76 signal unused);
+        the warm phase starts joint training from the retriever-following
+        prior the aux columns exist to provide."""
         params = self.init(jax.random.PRNGKey(seed))
         opt = optax.adam(lr)
-        opt_state = opt.init(params)
         G = groups.users.shape[0]
         nb = max(G // batch_groups, 1)
         gsize = nb * batch_groups
 
-        def step(carry, idx):
-            params, opt_state = carry
-            batch = jax.tree_util.tree_map(lambda a: a[idx], groups)
-            loss, grads = jax.value_and_grad(self.group_loss)(params, batch)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+        def make_epoch(o):
+            def step(carry, idx):
+                params, opt_state = carry
+                batch = jax.tree_util.tree_map(lambda a: a[idx], groups)
+                loss, grads = jax.value_and_grad(self.group_loss)(params, batch)
+                updates, opt_state = o.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
 
-        @jax.jit
-        def epoch(params, opt_state, key):
-            perm = jax.random.permutation(key, G)
-            idx = jnp.resize(perm, (gsize,)).reshape(nb, batch_groups)
-            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), idx)
-            return params, opt_state, jnp.mean(losses)
+            @jax.jit
+            def epoch(params, opt_state, key):
+                perm = jax.random.permutation(key, G)
+                idx = jnp.resize(perm, (gsize,)).reshape(nb, batch_groups)
+                (params, opt_state), losses = jax.lax.scan(
+                    step, (params, opt_state), idx
+                )
+                return params, opt_state, jnp.mean(losses)
+
+            return epoch
 
         key = jax.random.PRNGKey(seed + 1)
+        if aux_warm_epochs and self.aux_dim:
+            # NOT optax.masked: masked leaves unmasked grads through as raw
+            # (unnegated) updates — gradient ascent on the frozen MLP
+            warm = optax.multi_transform(
+                {"wa": optax.adam(100 * lr), "frozen": optax.set_to_zero()},
+                {k: ("wa" if k == "wa" else "frozen") for k in params},
+            )
+            warm_epoch = make_epoch(warm)
+            warm_state = warm.init(params)
+            for e in range(aux_warm_epochs):
+                key, k = jax.random.split(key)
+                params, warm_state, loss = warm_epoch(params, warm_state, k)
+                if verbose:
+                    print(f"[ranker] warm {e} loss {float(loss):.5f}")
+
+        epoch = make_epoch(opt)
+        opt_state = opt.init(params)
         for e in range(epochs):
             key, k = jax.random.split(key)
             params, opt_state, loss = epoch(params, opt_state, k)
             if verbose:
                 print(f"[ranker] epoch {e} loss {float(loss):.5f}")
         return params
+
+    def calibrate(
+        self,
+        params: Dict,
+        groups_val: RankGroups,
+        k: int = 10,
+        betas=(0.0, 0.01, 0.03, 0.1, 0.3, 1.0),
+        gammas=(0.0, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0),
+    ) -> Dict:
+        """Post-hoc blend calibration on a held-out validation slice
+        (aux rankers only): choose (beta, gamma) maximizing val recall@k for
+
+            score = beta * static(u, i) + gamma * <aux, wa_learned>
+
+        and return params expressing that blend (w3/b3/pu scaled by beta, wa
+        by gamma) — rank()/rerank_eval need no changes. Joint LambdaRank
+        training reliably over-weights the static MLP relative to the
+        retriever-signal head (measured on the rank20k chip record: learned
+        blends 0.166-0.191 vs 0.199 parity vs 0.211 best retriever, while the
+        aux columns alone reproduce the retriever exactly); fixing the
+        trade-off on held-out data instead of train loss is the standard
+        stacked-ensemble practice (the reference's GBDT gets the analogous
+        effect from early stopping on its eval set, train_lgbm.py:176-188)."""
+        if not self.aux_dim:
+            raise ValueError("calibrate() requires an aux ranker")
+        static_p = dict(params)
+        static_p["wa"] = jnp.zeros_like(params["wa"])
+        zero_aux = jnp.zeros(groups_val.items.shape + (self.aux_dim,), jnp.float32)
+        s_static = np.asarray(
+            self.score(static_p, groups_val.users[:, None], groups_val.items,
+                       aux=zero_aux)
+        )
+        s_aux = np.asarray(groups_val.aux) @ np.asarray(params["wa"])
+        lab = np.asarray(groups_val.labels) * np.asarray(groups_val.mask)
+        msk = np.asarray(groups_val.mask)
+        gt_lens = np.maximum(lab.sum(axis=1), 1.0)
+        best, best_r = (1.0, 1.0), -1.0
+        for beta in betas:
+            for gamma in gammas:
+                if beta == 0.0 and gamma == 0.0:
+                    continue
+                s = np.where(msk, beta * s_static + gamma * s_aux, -np.inf)
+                top = np.argsort(-s, axis=1)[:, :k]
+                hits = np.take_along_axis(lab, top, axis=1).sum(axis=1)
+                r = float(np.mean(hits / gt_lens))
+                if r > best_r:
+                    best, best_r = (beta, gamma), r
+        beta, gamma = best
+        out = dict(params)
+        out["w3"] = params["w3"] * beta
+        out["b3"] = params["b3"] * beta
+        if self.interaction_dim:
+            out["pu"] = params["pu"] * beta
+        out["wa"] = params["wa"] * gamma
+        out["_calibration"] = jnp.asarray([beta, gamma, best_r])
+        return out
 
     def rank(self, params, users: jnp.ndarray, cand_items: jnp.ndarray, k: int = 10,
              mask=None, chunk: int = 2048, aux=None):

@@ -122,10 +122,11 @@ def test_anchor20k_sasrec_record_agrees():
 def test_rank20k_record_rerank_wins():
     """Two-stage record (round-4 verdict #2), committed chip run at 20k x 10k:
 
-    - the retriever-signal ranker (rank/pipeline.py retriever_rank_aux,
-      flagged Deviation) must match or beat the best retriever alone — the
-      reference's entire second stage exists to improve top-10
-      (`/root/reference/train_lgbm.py:176-188`, `eval_lgbm.py:67-117`);
+    - the val-calibrated retriever-signal stack (retriever_rank_aux columns
+      + NeuralRanker.calibrate, flagged Deviation) must beat the best
+      retriever alone — the reference's entire second stage exists to
+      improve top-10 (`/root/reference/train_lgbm.py:176-188`,
+      `eval_lgbm.py:67-117`); committed record: 0.22985 vs 0.21118 (+8.8%);
     - the reference-parity ranker (static-profile make_X only,
       train_lgbm.py:46-63) must beat the WEAKER retriever — with no
       retriever-derived columns it cannot represent the graph knowledge of
@@ -136,16 +137,24 @@ def test_rank20k_record_rerank_wins():
     rows = [json.loads(line) for line in open(path)]
     alone = [r["alone_recall@10"] for r in rows if r.get("stage") == "B"]
     rer = [r for r in rows if r.get("stage") == "rerank"]
-    rer_aux = [r for r in rows if r.get("stage") == "rerank_aux"]
-    if not (alone and rer and rer_aux):
+    stack = [r for r in rows if r.get("stage") == "rerank_stack"]
+    if not (alone and rer and stack):
         pytest.skip("rank20k record incomplete")
-    assert rer_aux[0]["rerank_recall@10"] >= max(alone) - 1e-9, (rer_aux[0], alone)
+    assert stack[0]["rerank_recall@10"] >= max(alone) - 1e-9, (stack[0], alone)
+    assert stack[0]["rerank_ndcg@10"] >= 0.164, stack[0]
     assert rer[0]["rerank_recall@10"] >= min(alone) - 1e-9, (rer[0], alone)
     ceil = [r for r in rows if r.get("stage") == "union_ceiling"]
     if ceil:
         top = ceil[0]["recall_at_10_ceiling"] + 1e-9
         assert rer[0]["rerank_recall@10"] <= top
-        assert rer_aux[0]["rerank_recall@10"] <= top
+        assert stack[0]["rerank_recall@10"] <= top
+    # rr-only diagnostics reproduce each retriever's alone ordering exactly —
+    # the aux plumbing is lossless
+    diag = {r["retriever"]: r["recall_at_10"] for r in rows
+            if r.get("stage") == "diag_rr_only"}
+    if diag:
+        assert abs(diag["textsage"] - max(alone)) < 1e-4
+        assert abs(diag["lgn"] - min(alone)) < 1e-4
 
 
 def test_scale500k_record_throughput():
