@@ -84,6 +84,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", required=True, choices=["lgn", "flagship"])
     ap.add_argument("--cpu", action="store_true", help="tiny CPU smoke shapes")
+    ap.add_argument("--n_users", type=int, default=0,
+                    help="override the lgn part's user count (m_items scales "
+                         "proportionally) — used to bisect the 500k worker "
+                         "crash to a scale cliff")
+    ap.add_argument("--hub_budget_mb", type=int, default=512,
+                    help="per-dense-block hub memory budget (MB); the default "
+                         "512 puts ~4 GiB of bf16 hub blocks on HBM at 350k+ "
+                         "nodes (8 near-cap blocks across the 3 padded "
+                         "structures)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -115,7 +124,16 @@ def main():
     t0 = time.time()
     if args.part == "lgn":
         n, m, deg = (5000, 2000, 30) if args.cpu else (500_000, 200_000, 30)
+        if args.n_users:
+            n, m = args.n_users, max(args.n_users * 2 // 5, 1000)
         ds = zipf_bipartite(n, m, deg, seed=0)
+        if args.hub_budget_mb != 512:
+            from furusato_recommend_tpu.data.graph import build_bipartite_graph
+
+            ds._graph = build_bipartite_graph(
+                ds.train_user, ds.train_item, ds.test_user, ds.test_item,
+                n, m, hub_mem_budget=args.hub_budget_mb * 1024 * 1024,
+            )
         gen_s = time.time() - t0
         cfg = Config(
             model="lgn", latent_dim=64, n_layers=2, bpr_batch_size=8192,
@@ -156,8 +174,11 @@ def main():
         n, m, deg = (2000, 3000, 8) if args.cpu else (100_000, 300_000, 8)
         ds = zipf_bipartite(n, m, deg, seed=0, popularity_alpha=0.8)
         gen_s = time.time() - t0
+        # eval_user_batch 256: the M=300k eval tile's top-k sort temps are
+        # ~6x the [B, M] f32 score block; B=1024 crashed the 16G worker
+        # (recorded), 256 bounds the eval program near 2 GiB
         cfg = ddp_flagship_config().replace(
-            eval_user_batch=1024, topks=(10, 20), epochs=2,
+            eval_user_batch=256, topks=(10, 20), epochs=2,
             compile_cache="" if args.cpu else "/tmp/scale500k_xla_cache",
         )
         feats = lean_nwt_features(n, m, seed=0)

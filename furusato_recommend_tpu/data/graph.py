@@ -190,6 +190,7 @@ def build_bipartite_graph(
     padded: bool = True,
     hub_count: int = 1024,
     dst_hub_count: int = 1024,
+    hub_mem_budget: int = 512 * 1024 * 1024,
     extra_edges=None,  # [(u_arr, i_arr), ...] additional relation edge sets
 ) -> BipartiteGraph:
     """Construct the device graph from COO interaction arrays.
@@ -262,6 +263,7 @@ def build_bipartite_graph(
         sym = build_padded_adj(
             src, dst, weight, n_nodes,
             hub_count=hub_count, dst_hub_count=dst_hub_count, num_src=n_nodes,
+            hub_mem_budget=hub_mem_budget,
         )
         norm_padded = PaddedAdjPair(fwd=sym, bwd=sym)  # symmetric: A^T = A
         # mean aggregation runs over the MESSAGE edges (== train edges unless
@@ -272,11 +274,13 @@ def build_bipartite_graph(
         user_agg = build_padded_pair(
             msg_item, msg_user, w_mean_u, n_users, m_items,
             hub_count=hub_count, dst_hub_count=dst_hub_count,
+            hub_mem_budget=hub_mem_budget,
         )
         w_mean_i = (1.0 / deg_i[msg_item]).astype(np.float32)
         item_agg = build_padded_pair(
             msg_user, msg_item, w_mean_i, m_items, n_users,
             hub_count=hub_count, dst_hub_count=dst_hub_count,
+            hub_mem_budget=hub_mem_budget,
         )
 
     from ..ops.cuckoo import build_cuckoo_set
