@@ -88,6 +88,9 @@ def main():
                     help="override the lgn part's user count (m_items scales "
                          "proportionally) — used to bisect the 500k worker "
                          "crash to a scale cliff")
+    ap.add_argument("--batch", type=int, default=8192,
+                    help="lgn part BPR batch size (bigger batches amortize "
+                         "the per-step full-graph propagate at big graphs)")
     ap.add_argument("--hub_budget_mb", type=int, default=512,
                     help="per-dense-block hub memory budget (MB); the default "
                          "512 puts ~4 GiB of bf16 hub blocks on HBM at 350k+ "
@@ -136,7 +139,8 @@ def main():
             )
         gen_s = time.time() - t0
         cfg = Config(
-            model="lgn", latent_dim=64, n_layers=2, bpr_batch_size=8192,
+            model="lgn", latent_dim=64, n_layers=2,
+            bpr_batch_size=args.batch,
             lr=1e-3, eval_user_batch=1024, topks=(10, 20),
             compile_cache="" if args.cpu else "/tmp/scale500k_xla_cache",
         )
