@@ -178,11 +178,12 @@ def main():
         n, m, deg = (2000, 3000, 8) if args.cpu else (100_000, 300_000, 8)
         ds = zipf_bipartite(n, m, deg, seed=0, popularity_alpha=0.8)
         gen_s = time.time() - t0
-        # eval_user_batch 256: the M=300k eval tile's top-k sort temps are
-        # ~6x the [B, M] f32 score block; B=1024 crashed the 16G worker
-        # (recorded), 256 bounds the eval program near 2 GiB
+        # eval_user_batch 1024 at M=300k: plain lax.top_k's sort temps (~6x
+        # the [B, M] f32 score block) crashed the 16G worker at this batch
+        # (recorded in the jsonl); the evaluator now auto-routes M >= 128k
+        # catalogs through the sequential chunked top-k (ops/chunked_topk.py)
         cfg = ddp_flagship_config().replace(
-            eval_user_batch=256, topks=(10, 20), epochs=2,
+            eval_user_batch=1024, topks=(10, 20), epochs=2,
             compile_cache="" if args.cpu else "/tmp/scale500k_xla_cache",
         )
         feats = lean_nwt_features(n, m, seed=0)

@@ -31,6 +31,7 @@ from ..data.dataset import Dataset
 from ..data.graph import BipartiteGraph
 from ..eval.metrics import batch_auc_sum, batch_metric_sums
 from ..models.base import PairwiseModel, Params
+from ..ops.chunked_topk import CHUNKED_TOPK_MIN_M, chunked_top_k
 from ..ops.csr_search import csr_gather_padded
 
 __all__ = ["EvalData", "build_eval_data", "Evaluator"]
@@ -172,7 +173,13 @@ class Evaluator:
                 )
             else:
                 scores = self._score_tile(user_emb, item_emb, graph, users)
-                _, topk = jax.lax.top_k(scores, self.kmax)
+                if m >= CHUNKED_TOPK_MIN_M:
+                    # huge catalogs: lax.top_k's sort temps (~6x the [B, M]
+                    # tile) OOM a 16G chip at M=300k, B=1024 — sequential
+                    # per-segment top-k + merge (ops/chunked_topk.py)
+                    _, topk = chunked_top_k(scores, self.kmax)
+                else:
+                    _, topk = jax.lax.top_k(scores, self.kmax)
             batch_sums = batch_metric_sums(
                 topk,
                 users,

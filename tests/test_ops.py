@@ -286,3 +286,26 @@ def test_segment_softmax_aggregate_matches_dense():
         e = np.where(e > 0, e, 0.2 * e)  # leaky_relu
         a = np.exp(e - e.max()); a /= a.sum()
         np.testing.assert_allclose(got[u], (a[:, None] * vals[nbrs]).sum(0), rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_top_k_matches_lax():
+    """Sequential chunked top-k == lax.top_k exactly, including the
+    value-desc/index-asc tie order (duplicate values forced)."""
+    import jax
+    import jax.numpy as jnp
+
+    from furusato_recommend_tpu.ops.chunked_topk import chunked_top_k
+
+    rng = np.random.default_rng(0)
+    # quantized scores force plenty of cross-segment ties
+    s = jnp.asarray(rng.integers(0, 40, (7, 1000)).astype(np.float32))
+    for chunk in (64, 100, 256, 1000, 2048):
+        v, i = chunked_top_k(s, 17, chunk=chunk)
+        rv, ri = jax.lax.top_k(s, 17)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+    # jit parity (the eval scan traces it)
+    v, i = jax.jit(lambda x: chunked_top_k(x, 5, chunk=128))(s)
+    rv, ri = jax.lax.top_k(s, 5)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(rv[:, :5]))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri[:, :5]))
