@@ -88,6 +88,10 @@ def main():
                     help="override the lgn part's user count (m_items scales "
                          "proportionally) — used to bisect the 500k worker "
                          "crash to a scale cliff")
+    ap.add_argument("--layers", type=int, default=2,
+                    help="lgn part propagation depth (1 halves the live "
+                         "[padded_slots, d] SpMM gather temps - the cliff "
+                         "mechanism probe)")
     ap.add_argument("--batch", type=int, default=8192,
                     help="lgn part BPR batch size (bigger batches amortize "
                          "the per-step full-graph propagate at big graphs)")
@@ -139,7 +143,7 @@ def main():
             )
         gen_s = time.time() - t0
         cfg = Config(
-            model="lgn", latent_dim=64, n_layers=2,
+            model="lgn", latent_dim=64, n_layers=args.layers,
             bpr_batch_size=args.batch,
             lr=1e-3, eval_user_batch=1024, topks=(10, 20),
             compile_cache="" if args.cpu else "/tmp/scale500k_xla_cache",
